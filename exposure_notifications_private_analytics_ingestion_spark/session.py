@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the ingestion engine.
+
+Local-mode defaults mirror what a 1000-executor deployment would set per
+executor: explicit shuffle partitions, AQE on (runtime re-plan + skew-join),
+Arrow enabled for every pandas-UDF crossing, UTC session timezone so the
+DuckDB oracle comparison is byte-stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "enpa-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session.
+
+    ``cores`` may be an int (→ ``local[n]``) or a full master URL. On a real
+    cluster the master comes from spark-submit and this builder only sets
+    SQL-level configs, which are master-agnostic.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = cores if isinstance(cores, str) and "[" in str(cores) else f"local[{cores}]"
+    n = shuffle_partitions or (int(cores) if str(cores).isdigit() else 32)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

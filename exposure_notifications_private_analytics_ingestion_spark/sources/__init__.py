@@ -1,0 +1,6 @@
+from .transcripts import (  # noqa: F401
+    generate_turns,
+    generate_turns_with_payload,
+    invalid_fixture_rows,
+    write_turns_table,
+)
