@@ -1,0 +1,176 @@
+"""Document deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design constraints for 100 TB corpora:
+- **exact**: hash-groupBy on ``md5(text)`` — one shuffle whose key is 32
+  bytes regardless of document size; map-side partial aggregation collapses
+  same-partition dups before the exchange.
+- **minhash_lsh**: shingle → k minhashes (ONE pass: explode shingles, one
+  grouped agg computing all k mins) → band → self-join on band bucket. The
+  join is on the band value, so candidate generation is O(collisions), never
+  the O(n²) all-pairs — this is the scale path.
+- **simhash**: one exploded agg with 16 signed bit-sums; near-dup lookup is
+  then an equality (or small-hamming-ball) join on the signature.
+- **ngram_jaccard**: exact verification for candidate pairs — intersection
+  counts via a shingle self-join. Quadratic in the worst case; intended to
+  run AFTER an LSH candidate filter at scale (provided standalone for small
+  inputs / verification).
+
+Hash functions are ``md5(shingle + '#' + i)`` (lexicographic min over hex
+strings ≡ min over a uniform hash family) — chosen because the identical
+expression exists in every SQL engine, making every op here oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import words_col
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: representative id (min), duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text)).alias("text_hash"))
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles_df(
+    df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (docs shorter than n words
+    are dropped — they carry no n-shingle)."""
+    w = words_col(text)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(w, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(w) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """k MinHash components in ONE grouped aggregation (single shuffle)."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(
+            f"mh_{i}"
+        )
+        for i in range(k)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band. Returns (doc_a, doc_b,
+    n_shared_bands). Join key = (band_idx, band_hash) — collision-bounded."""
+    rows = k // bands
+    sig = minhash_signatures(shingles_df(df, n, text, id_col), k, id_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, n: int = 1, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash over distinct word shingles: bit b set iff the signed sum of
+    bit b across shingle hashes is positive. One exploded agg, ``bits``
+    conditional sums — all codegen'd."""
+    shingled = shingles_df(df, n, text, id_col)
+    h = F.md5(F.col("shingle"))
+    bit_sums = []
+    for b in range(bits):
+        digit = F.substring(h, 1 + b // 4, 1)
+        v = F.conv(digit, 16, 10).cast("int")
+        bit = F.shiftright(v, 3 - (b % 4)) % 2
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s_{b}")
+        )
+    sums = shingled.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs above ``threshold``.
+
+    shingle self-join → per-pair intersection count → |A∪B| from per-doc
+    sizes. Run on LSH candidates at scale."""
+    sh = shingles_df(df, n, text, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

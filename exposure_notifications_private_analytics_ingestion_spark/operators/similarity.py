@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Embeddings are quantized to int32 (round(x·1000)) BEFORE the pairwise math
+  so dot products are exact integers and rankings are bit-stable across
+  engines (the float-sum-order problem disappears); similarity itself is
+  ``qdot / sqrt(qn_a · qn_b)``.
+- ``ivf_topk``: the scale path — restrict candidate pairs to the same coarse
+  cluster (IVF with nprobe=1). Here the cluster id is a precomputed column
+  (``label``); in a full system it's argmin over centroids, same plan shape.
+  The self-join keys on the cluster id, so the pair count drops from O(n²)
+  to Σ|cluster|².
+- ``lsh_ann_topk``: random-hyperplane LSH — 16 deterministic pseudo-planes
+  derived from md5(bit,dim), bucket = sign bits, candidates share a bucket.
+
+All math is built-in array functions (zip_with / aggregate / transform) —
+JVM-side, no Python. Pandas-UDF variants are deliberately avoided: measured
+slower than codegen'd aggregate() for 64-dim vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def quantize(col: Column) -> Column:
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, extra: list[str]) -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        q.alias("qv"),
+        _qdot(q, q).alias("qn"),
+        *[F.col(c) for c in extra],
+    )
+
+
+def _pair_sim() -> Column:
+    return F.round(
+        F.col("qdot") / F.sqrt((F.col("a.qn") * F.col("b.qn")).cast("double")), 6
+    )
+
+
+def cosine_topk(
+    df: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k neighbors per vector (excluding self), brute force."""
+    from pyspark.sql import Window
+
+    prep = _prep(df, id_col, vec_col, [])
+    a, b = prep.alias("a"), prep.alias("b")
+    pairs = (
+        a.join(b, F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            _pair_sim().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b."""
+    prep = _prep(df, id_col, vec_col, [])
+    a, b = prep.alias("a"), prep.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            _pair_sim().alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF(nprobe=1) top-k: candidates restricted to the query's coarse
+    cluster. Join keys on the cluster id → shuffle co-locates clusters."""
+    from pyspark.sql import Window
+
+    prep = _prep(df, id_col, vec_col, [cluster_col])
+    a, b = prep.alias("a"), prep.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            _pair_sim().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucket(vec_col: Column, dims: int, planes: int = 16) -> Column:
+    """Random-hyperplane sign bucket. Plane weights are deterministic
+    pseudo-randoms: hexdigit(md5('p{p}d{d}')) - 7.5, identical everywhere."""
+    hexchars = "0123456789abcdef"
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        acc = F.lit(0.0)
+        for d in range(dims):
+            import hashlib
+
+            digit = hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[0]
+            wgt = hexchars.index(digit) - 7.5
+            acc = acc + F.element_at(vec_col, d + 1).cast("double") * F.lit(wgt)
+        bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    k: int = 3,
+    dims: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k within LSH sign buckets (recall < 1, collision-bounded cost)."""
+    from pyspark.sql import Window
+
+    with_bucket = df.withColumn("bucket", lsh_bucket(F.col(vec_col), dims, planes))
+    prep = _prep(with_bucket, id_col, vec_col, ["bucket"])
+    a, b = prep.alias("a"), prep.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            _pair_sim().alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (split / filter / aggregate over array columns — whole-stage
+codegen, zero Python): language-ID by stopword-hit ratio, quality scoring,
+token counting, and document fingerprinting (full-text md5 + min-shingle
+rolling fingerprint, the 1-window case of winnowing [Schleimer et al. 2003]).
+
+Scale: every op is a narrow map over the scan (no shuffle); Catalyst prunes
+to the two columns used. At 100 TB these run at IO speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets (public common-word lists)
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "on", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "ich"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "un", "una", "por"],
+}
+
+
+def words_col(text: str = "text") -> Column:
+    return F.split(F.col(text), " ")
+
+
+def _hit_count(words: Column, vocab: list[str]) -> Column:
+    lit = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(lit, w)))
+
+
+def token_count(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic,
+    the public rule-of-thumb for byte-pair-encoded English)."""
+    w = words_col(text)
+    return df.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.length(text).alias("n_chars_calc"),
+        F.ceil(F.length(text) / 4).cast("long").alias("bpe_token_estimate"),
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / mean-word-length / stopword-ratio quality gates (the standard
+    C4/Gopher-style heuristics, re-expressed as one codegen'd projection)."""
+    w = words_col(text)
+    n_tok = F.size(w)
+    mean_wl = F.round(
+        (F.length(text) - (n_tok - 1)) / n_tok, 6
+    )  # total chars minus single separators
+    stop_ratio = F.round(_hit_count(w, STOPWORDS["en"]) / n_tok, 6)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_tok >= 5)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+        ).alias("passes_quality"),
+    )
+
+
+def lang_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-ratio language ID; deterministic argmax (score desc,
+    lang asc)."""
+    w = words_col(text)
+    scores = [
+        F.round(_hit_count(w, v) / F.size(w), 6).alias(f"score_{k}")
+        for k, v in sorted(STOPWORDS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(STOPWORDS)
+    # tiebreak: score desc, lang asc — greatest() then first lang reaching it
+    best_score = F.greatest(*[F.col(f"score_{k}") for k in langs])
+    lang_pick = F.coalesce(
+        *[
+            F.when(F.col(f"score_{k}") == best_score, F.lit(k))
+            for k in langs
+        ]
+    )
+    return scored.select(
+        id_col, *[f"score_{k}" for k in langs], lang_pick.alias("lang_pred")
+    )
+
+
+def fingerprint(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", shingle: int = 3
+) -> DataFrame:
+    """Full-text md5 + rolling min-shingle fingerprint (word ``shingle``-grams,
+    min of md5 — robust to local edits; the 1-selection case of winnowing)."""
+    w = words_col(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.try_element_at(w, i + F.lit(j)) for j in range(shingle)]
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text)).alias("fingerprint"),
+        F.array_min(shingles).alias("min_shingle_fp"),
+    )

@@ -25,11 +25,17 @@ def calculate_window_start(start_s: int | None, duration_s: int, now_s: int) -> 
     return (now_s // duration_s - 1) * duration_s
 
 
+def ts_ms_col(ts_col: str = "ts"):
+    """Exact epoch-ms (integer division on unix micros — never float math,
+    which is off-by-one at µs-000 boundaries)."""
+    return F.expr(f"unix_micros({ts_col}) div 1000")
+
+
 def window_filter(
     df: DataFrame, start_s: int, duration_s: int, ts_col: str = "ts"
 ) -> DataFrame:
     """Keep rows with ts_ms in [start_s*1000, (start_s+duration_s)*1000)."""
-    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    ts_ms = ts_ms_col(ts_col)
     lo = start_s * 1000
     hi = (start_s + duration_s) * 1000
     return df.filter(
@@ -42,7 +48,7 @@ def window_filter_counters(
     metric_col: str = "conv_id",
 ) -> DataFrame:
     """Per-metric included/excluded counts (DateFilterFn.java:33-44 analog)."""
-    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    ts_ms = ts_ms_col(ts_col)
     lo, hi = start_s * 1000, (start_s + duration_s) * 1000
     inside = F.col(ts_col).isNotNull() & (ts_ms >= lo) & (ts_ms < hi)
     return df.groupBy(metric_col).agg(

@@ -26,7 +26,7 @@ def expired_turns(df: DataFrame, cutoff_s: int, ts_col: str = "ts") -> DataFrame
     columns + ts are read)."""
     key = [c for c in ("conv_id", "turn_idx") if c in df.columns] or df.columns[:1]
     return df.select(*key, ts_col).filter(
-        (F.col(ts_col).cast("double") * 1000).cast("long") < cutoff_s * 1000
+        F.expr(f"unix_micros({ts_col}) div 1000") < cutoff_s * 1000
     )
 
 

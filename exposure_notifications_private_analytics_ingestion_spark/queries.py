@@ -1,0 +1,643 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 plus the
+training-data pipeline ops, each as (spark_fn, duckdb_oracle_sql).
+
+Conventions that make the oracle comparison byte-stable:
+- timestamps leave as epoch **milliseconds** (long) via integer division —
+  never raw timestamps (tz-hash hazards);
+- doubles are produced by exact integer ratios then ``round(x, 6)`` in both
+  engines;
+- embedding math is int-quantized (round(x*1000)) before any pairwise op;
+- every computed column is aliased identically in Spark and SQL.
+
+The transcript graft mapping for the core ops runs over the driver's
+``events`` table: conv_id := user_id, turn_idx := event_id, text :=
+event_type, ts := ts (FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.batching import assign_batches
+from .operators.doc_dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.multimodal import attach_media, extract_features
+from .operators.similarity import cosine_pairs, cosine_topk, ivf_topk, lsh_ann_topk
+from .operators.text_analysis import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .plans.ingestion import IngestionOptions, process_turns
+
+# ------------------------------------------------------------------ helpers
+
+JAN = 1704067200  # 2024-01-01T00:00:00Z
+MONTH = 31 * 24 * 3600
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events_as_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
+
+def _ms(col: str = "ts"):
+    return F.expr(f"unix_micros({col}) div 1000")
+
+
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+def _stop_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+# ------------------------------------------------------------ core: events
+
+def q_validate_filter(spark, sf_dir):
+    """V1/S3 analog: predicate validation + projection (pushed to scan)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull() & (F.col("value") > 100) & (F.col("event_type") != "error")
+    ).select("event_id", "user_id", "event_type")
+
+
+SQL_VALIDATE = """
+SELECT event_id, user_id, event_type FROM events
+WHERE value IS NOT NULL AND value > 100 AND event_type <> 'error'
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """D1 analog: deterministic representative per key + dup count."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_rows")
+    )
+
+
+SQL_DEDUP = """
+SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_rows
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def q_window_filter(spark, sf_dir):
+    """F1: half-open [2024-01-05, 2024-01-06) at ms granularity."""
+    from .operators.window_filter import window_filter
+
+    ev = _read(spark, sf_dir, "events")
+    start = JAN + 4 * 86400
+    return window_filter(ev, start, 86400).select(
+        "event_id", "user_id", _ms().alias("ts_ms")
+    )
+
+
+SQL_WINDOW_FILTER = f"""
+SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms FROM events
+WHERE ts IS NOT NULL
+  AND epoch_us(ts) // 1000 >= {(JAN + 4 * 86400) * 1000}
+  AND epoch_us(ts) // 1000 <  {(JAN + 5 * 86400) * 1000}
+"""
+
+
+def q_tumbling_window_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr("unix_micros(w.start) div 1000").alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SQL_TUMBLING = """
+SELECT epoch_us(date_trunc('hour', ts)) // 1000 AS window_start_ms,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_window_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr("unix_micros(w.start) div 1000").alias("window_start_ms"), "n"
+        )
+    )
+
+
+SQL_SLIDING = """
+WITH m AS (SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS s1 FROM events),
+u AS (SELECT s1 - k * 1800 AS ws FROM m, unnest([0, 1]) t(k))
+SELECT ws * 1000 AS window_start_ms, count(*) AS n FROM u GROUP BY 1
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(w.start) div 1000").alias("session_start_ms"),
+            F.expr("unix_micros(w.end) div 1000").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id,
+       epoch_us(min(ts)) // 1000 AS session_start_ms,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) // 1000 AS session_end_ms,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+BATCH = 50
+
+
+def q_group_batches(spark, sf_dir):
+    """K1+G1: fixed-size chunking per conversation key."""
+    turns = _events_as_turns(spark, sf_dir)
+    batched = assign_batches(turns, BATCH, JAN)
+    return batched.groupBy(
+        F.col("conv_id").alias("user_id"), "batch_ordinal"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("turn_idx").alias("min_event_id"),
+        F.max("turn_idx").alias("max_event_id"),
+    )
+
+
+SQL_GROUP_BATCHES = f"""
+WITH r AS (
+  SELECT user_id::VARCHAR AS user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events)
+SELECT user_id, ((rn - 1) // {BATCH})::INT AS batch_ordinal,
+       count(*) AS n_events, min(event_id)::INT AS min_event_id,
+       max(event_id)::INT AS max_event_id
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_batch_assembly_stateful(spark, sf_dir):
+    """Same contract as q_group_batches but through the keyed-state path
+    (applyInPandas batch analog of the streaming applyInPandasWithState
+    assembler) — the oracle doubles as an equivalence proof."""
+    import pandas as pd
+
+    turns = _events_as_turns(spark, sf_dir)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
+        pdf["batch_ordinal"] = (pdf.index // BATCH).astype("int32")
+        g = pdf.groupby("batch_ordinal", as_index=False).agg(
+            user_id=("conv_id", "first"),
+            n_events=("turn_idx", "size"),
+            min_event_id=("turn_idx", "min"),
+            max_event_id=("turn_idx", "max"),
+        )
+        return g[["user_id", "batch_ordinal", "n_events", "min_event_id", "max_event_id"]]
+
+    return turns.groupBy("conv_id").applyInPandas(
+        assemble,
+        schema="user_id string, batch_ordinal int, n_events long, "
+        "min_event_id int, max_event_id int",
+    )
+
+
+def q_packet_split(spark, sf_dir):
+    """X1: ×2 fan-out with fork consistency."""
+    from .operators.packets import split_packets
+
+    turns = _events_as_turns(spark, sf_dir)
+    batched = assign_batches(turns, BATCH, JAN)
+    return split_packets(batched).select(
+        "uuid", "destination", F.hex("encrypted_payload").alias("payload_hex")
+    )
+
+
+SQL_PACKET_SPLIT = """
+SELECT user_id::VARCHAR || '#' || event_id::VARCHAR AS uuid,
+       CASE WHEN k = 0 THEN 'pha' ELSE 'facilitator' END AS destination,
+       upper(hex(event_type::BLOB)) AS payload_hex
+FROM events, unnest([0, 1]) t(k)
+"""
+
+
+def q_batch_headers(spark, sf_dir):
+    """W2: per-(batch, destination) manifest with sha256 digest chain."""
+    turns = _events_as_turns(spark, sf_dir)
+    opts = IngestionOptions(window_start_s=JAN, duration_s=MONTH, batch_size=BATCH)
+    packets, headers, _ = process_turns(turns, opts)
+    return headers.select(
+        "name", "destination", "n_packets", "packet_file_digest"
+    )
+
+
+SQL_BATCH_HEADERS = f"""
+WITH r AS (
+  SELECT user_id::VARCHAR AS name, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+  WHERE ts IS NOT NULL
+    AND epoch_us(ts) // 1000 >= {JAN * 1000}
+    AND epoch_us(ts) // 1000 < {(JAN + MONTH) * 1000}),
+p AS (
+  SELECT name, (rn - 1) // {BATCH} AS batch_ordinal,
+         CASE WHEN k = 0 THEN 'pha' ELSE 'facilitator' END AS destination,
+         name || '#' || event_id::VARCHAR AS uuid,
+         upper(hex(event_type::BLOB)) AS payload_hex
+  FROM r, unnest([0, 1]) t(k))
+SELECT name, destination, count(*) AS n_packets,
+       sha256(string_agg(uuid || ':' || payload_hex, ''
+              ORDER BY uuid, payload_hex)) AS packet_file_digest
+FROM p GROUP BY name, batch_ordinal, destination
+"""
+
+
+def q_deletion_retention(spark, sf_dir):
+    """DEL1: rows the retention job deletes (ts < start − 2·window)."""
+    from .plans.deletion import expired_turns
+
+    ev = _read(spark, sf_dir, "events")
+    cutoff = JAN + 10 * 86400
+    return expired_turns(
+        ev.withColumnRenamed("event_id", "conv_id"), cutoff
+    ).select(F.col("conv_id").alias("event_id"), _ms().alias("ts_ms"))
+
+
+SQL_DELETION = f"""
+SELECT event_id, epoch_us(ts) // 1000 AS ts_ms FROM events
+WHERE epoch_us(ts) // 1000 < {(JAN + 10 * 86400) * 1000}
+"""
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """M2 analog: counter rollup (per-class + grand total in one pass)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(F.count("*").alias("n"))
+
+
+SQL_ROLLUP = "SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event_type)"
+
+
+def q_hot_key_salted_agg(spark, sf_dir):
+    """Skew pattern: two-stage salted aggregation ≡ plain groupBy count —
+    the oracle certifies the algebraic identity."""
+    ev = _read(spark, sf_dir, "events")
+    stage1 = ev.groupBy(
+        "user_id", F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("_salt")
+    ).agg(F.count("*").alias("c"), F.sum("value").alias("v"))
+    return stage1.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"), F.round(F.sum("v"), 4).alias("sum_value")
+    )
+
+
+SQL_SALTED = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """Windowed hash-agg with partial aggregation (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------- documents corpus
+
+def q_token_count(spark, sf_dir):
+    return token_count(_read(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       ceil(length(text) / 4)::BIGINT AS bpe_token_estimate
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, len(ws) AS n_tokens,
+       round((length(text) - (len(ws) - 1)) / len(ws), 6) AS mean_word_len,
+       round(len(list_filter(ws, w -> list_contains([{_EN}], w))) / len(ws), 6)
+         AS stopword_ratio,
+       (len(ws) >= 5 AND round((length(text) - (len(ws) - 1)) / len(ws), 6) >= 2.0
+        AND round((length(text) - (len(ws) - 1)) / len(ws), 6) <= 12.0) AS passes_quality
+FROM d
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n       ".join(
+        f"round(len(list_filter(ws, w -> list_contains([{_stop_sql(k)}], w))) / len(ws), 6) AS score_{k}"
+        for k in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{k}" for k in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN score_{k} = {best} THEN '{k}'" for k in langs
+    ) + " END"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+       {score_cols}
+FROM d)
+SELECT doc_id, {', '.join('score_' + k for k in langs)}, {pick} AS lang_pred FROM s
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(F.split("text", " ")) >= 3)
+    return fingerprint(docs)
+
+
+SQL_FINGERPRINT = """
+WITH d AS (SELECT doc_id, md5(text) AS fp, string_split(text, ' ') AS ws
+           FROM documents),
+s AS (SELECT doc_id, fp,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      FROM d WHERE len(ws) >= 3)
+SELECT doc_id, fp AS fingerprint, min(sh) AS min_shingle_fp
+FROM s GROUP BY doc_id, fp
+"""
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), k=4, bands=4, n=3
+    )
+
+
+SQL_MINHASH = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      FROM d WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+               min(md5(sh || '#0')) AS m0, min(md5(sh || '#1')) AS m1,
+               min(md5(sh || '#2')) AS m2, min(md5(sh || '#3')) AS m3
+        FROM s GROUP BY 1),
+b AS (SELECT doc_id, i AS band_idx, md5([m0, m1, m2, m3][i + 1]) AS bh
+      FROM sig, unnest([0, 1, 2, 3]) t(i))
+SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM b a JOIN b b2
+  ON a.band_idx = b2.band_idx AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_read(spark, sf_dir, "documents"), bits=16, n=1)
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    sums = []
+    for b in range(bits):
+        digit = f"substr(h, {1 + b // 4}, 1)"
+        v = f"(instr('0123456789abcdef', {digit}) - 1)"
+        bit = f"(({v} >> {3 - (b % 4)}) & 1)"
+        sums.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s_{b}")
+    sim = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+u AS (SELECT doc_id, unnest(list_distinct(ws)) AS w
+      FROM d WHERE len(ws) >= 1),
+s AS (SELECT doc_id, md5(w) AS h FROM u),
+b AS (SELECT doc_id, {', '.join(sums)} FROM s GROUP BY doc_id)
+SELECT doc_id, ({sim})::BIGINT AS simhash FROM b
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.05
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      FROM d WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(ni / (x.n + y.n - ni), 6) AS jaccard
+FROM i JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+WHERE round(ni / (x.n + y.n - ni), 6) >= 0.05
+"""
+
+
+# ------------------------------------------------------ embeddings corpus
+
+_Q_PREP_SQL = """
+WITH q AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+           FROM embeddings),
+n AS (SELECT vec_id, label, qv,
+             list_sum(list_transform(qv, x -> x * x))::BIGINT AS qn
+      FROM q)
+"""
+
+_PAIR_SIM_SQL = (
+    "round(list_sum(list_transform(range(1, 65), "
+    "i -> a.qv[i] * b.qv[i]))::BIGINT / sqrt((a.qn * b.qn)::DOUBLE), 6)"
+)
+
+
+def q_cosine_topk(spark, sf_dir):
+    return cosine_topk(_read(spark, sf_dir, "embeddings"), k=3)
+
+
+SQL_COSINE_TOPK = f"""
+{_Q_PREP_SQL},
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_PAIR_SIM_SQL} AS cosine
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM p)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    return cosine_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+SQL_COSINE_PAIRS = f"""
+{_Q_PREP_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_PAIR_SIM_SQL} AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_PAIR_SIM_SQL} >= 0.35
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=3)
+
+
+SQL_IVF_TOPK = f"""
+{_Q_PREP_SQL},
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_PAIR_SIM_SQL} AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM p)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    # rows-only check: the hyperplane literals live Python-side
+    return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), k=3, dims=64, planes=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return extract_features(attach_media(docs))
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, length(text)::BIGINT AS n_bytes,
+       (length(text) % 640 + 1)::INT AS width,
+       ((length(text) * 7) % 480 + 1)::INT AS height,
+       (length(text) % 10)::INT AS n_frames,
+       true AS ok
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- registry
+
+def registry() -> dict[str, tuple]:
+    """name → (spark_fn, oracle_sql | None)."""
+    return {
+        "validate_filter": (q_validate_filter, SQL_VALIDATE),
+        "dedup_exact": (q_dedup_exact, SQL_DEDUP),
+        "window_filter": (q_window_filter, SQL_WINDOW_FILTER),
+        "tumbling_window_counts": (q_tumbling_window_counts, SQL_TUMBLING),
+        "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING),
+        "session_windows": (q_session_windows, SQL_SESSION),
+        "group_batches": (q_group_batches, SQL_GROUP_BATCHES),
+        "batch_assembly_stateful": (q_batch_assembly_stateful, SQL_GROUP_BATCHES),
+        "packet_split": (q_packet_split, SQL_PACKET_SPLIT),
+        "batch_headers": (q_batch_headers, SQL_BATCH_HEADERS),
+        "deletion_retention": (q_deletion_retention, SQL_DELETION),
+        "metrics_rollup": (q_metrics_rollup, SQL_ROLLUP),
+        "hot_key_salted_agg": (q_hot_key_salted_agg, SQL_SALTED),
+        "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_Q1),
+        "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "quality_score": (q_quality_score, SQL_QUALITY),
+        "lang_id": (q_lang_id, _sql_lang_id()),
+        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
+        "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
+        "simhash_docs": (q_simhash, _sql_simhash()),
+        "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "cosine_near_dup_pairs": (q_cosine_near_dup, SQL_COSINE_PAIRS),
+        "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+        "lsh_ann_topk": (q_lsh_ann_topk, None),
+        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    }
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """entry(): the full ingestion pipeline over the sf0.001 event stream
+    mapped to transcript turns — returns the batch-header manifest."""
+    turns = _events_as_turns(spark, sf_dir)
+    opts = IngestionOptions(window_start_s=JAN, duration_s=MONTH, batch_size=BATCH)
+    _, headers, _ = process_turns(turns, opts)
+    return headers

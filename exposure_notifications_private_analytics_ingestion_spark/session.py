@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet timestamps → TIMESTAMP_LTZ (session tz = UTC), so event-time
+        # functions (unix_micros, window, session_window) behave like the
+        # reference's epoch-ms arithmetic and like DuckDB's naive-UTC
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

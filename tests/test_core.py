@@ -1,0 +1,144 @@
+"""Golden micro-cases from the reference's operator/pipeline unit tests
+(FIXTURES.md §3): window filter [2s,3s), core batching 4→2, dedup, chunking."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from exposure_notifications_private_analytics_ingestion_spark.model.schema import TURNS_SCHEMA
+from exposure_notifications_private_analytics_ingestion_spark.operators.batching import (
+    assign_batches,
+    assign_batches_scalable,
+)
+from exposure_notifications_private_analytics_ingestion_spark.operators.dedup import (
+    dedup_turns,
+    dedup_turns_deterministic,
+)
+from exposure_notifications_private_analytics_ingestion_spark.operators.window_filter import (
+    calculate_window_start,
+    window_filter,
+)
+from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+    IngestionOptions,
+    process_turns,
+)
+
+
+def _ts(ms):
+    return (
+        None
+        if ms is None
+        else datetime.fromtimestamp(ms / 1000, tz=timezone.utc).replace(tzinfo=None)
+    )
+
+
+def _turns(spark, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return spark.createDataFrame(pdf, schema=TURNS_SCHEMA)
+
+
+def test_window_filter_golden(spark):
+    """DateFilterFnTest.java:46-84 verbatim: created {1000,2000,3000,null} ms,
+    window start=2s dur=1s → only the 2000 ms row."""
+    df = _turns(
+        spark,
+        [
+            ("id1", 0, "user", "a", "", _ts(1000)),
+            ("id2", 0, "user", "b", "", _ts(2000)),
+            ("id3", 0, "user", "c", "", _ts(3000)),
+            ("id4", 0, "user", "d", "", _ts(None)),
+        ],
+    )
+    out = window_filter(df, start_s=2, duration_s=1).collect()
+    assert [r["conv_id"] for r in out] == ["id2"]
+
+
+def test_core_batching_golden(spark):
+    """IngestionPipelineTest.java:50-109: created {1000,2000,4000,null},
+    window [1s,3s), batch_size=1 → exactly 2 batches holding the 1000 ms and
+    2000 ms rows."""
+    df = _turns(
+        spark,
+        [
+            ("c", 0, "user", "t1000", "", _ts(1000)),
+            ("c", 1, "user", "t2000", "", _ts(2000)),
+            ("c", 2, "user", "t4000", "", _ts(4000)),
+            ("c", 3, "user", "tnull", "", _ts(None)),
+        ],
+    )
+    opts = IngestionOptions(window_start_s=1, duration_s=2, batch_size=1)
+    packets, headers, _ = process_turns(df, opts)
+    pk = packets.toPandas()
+    assert sorted(pk["uuid"].unique()) == ["c#0", "c#1"]
+    assert pk["batch_id"].nunique() == 2  # batch_size=1 → one batch per row
+    hd = headers.toPandas()
+    assert len(hd) == 4  # 2 batches × 2 destinations
+    assert set(hd["n_packets"]) == {1}
+    payloads = {bytes(b).decode() for b in pk["encrypted_payload"]}
+    assert payloads == {"t1000", "t2000"}
+
+
+def test_pipeline_start_math():
+    """IngestionPipelineOptionsTest.java:32-76 incl. terraform defaults."""
+    assert calculate_window_start(123, 3600, 999999) == 123
+    assert calculate_window_start(None, 3600, 7200) == 3600
+    assert calculate_window_start(None, 3600, 7201) == 3600
+    assert calculate_window_start(None, 43200, 1600000000) == (
+        (1600000000 // 43200 - 1) * 43200
+    )
+
+
+def test_dedup_one_survivor(spark):
+    rows = [
+        ("a", 0, "user", "x", "", _ts(1000)),
+        ("a", 0, "user", "x", "", _ts(1000)),
+        ("a", 1, "user", "y", "", _ts(2000)),
+    ]
+    df = _turns(spark, rows)
+    assert dedup_turns(df).count() == 2
+    det = dedup_turns_deterministic(df)
+    assert det.count() == 2
+    assert set(det.columns) == set(df.columns)
+
+
+def test_dedup_deterministic_winner(spark):
+    # conflicting payloads for the same key: min-struct must win every run
+    rows = [
+        ("a", 0, "user", "zzz", "", _ts(5000)),
+        ("a", 0, "user", "aaa", "", _ts(1000)),
+    ]
+    df = _turns(spark, rows)
+    for _ in range(3):
+        out = dedup_turns_deterministic(df).collect()
+        assert len(out) == 1
+        assert out[0]["role"] == "user"
+        # struct-min ordering: first differing field among non-key columns
+        assert out[0]["text"] in ("aaa",)
+
+
+def test_chunking_exact_sizes(spark):
+    rows = [("c", i, "user", f"t{i}", "", _ts(1000 + i)) for i in range(10)]
+    df = _turns(spark, rows)
+    out = assign_batches(df, batch_size=3, window_start_s=0).toPandas()
+    sizes = out.groupby("batch_ordinal").size().sort_index().tolist()
+    assert sizes == [3, 3, 3, 1]
+    # deterministic ids: rerun equal
+    out2 = assign_batches(df, batch_size=3, window_start_s=0).toPandas()
+    assert set(out["batch_id"]) == set(out2["batch_id"])
+    # different window → different ids
+    out3 = assign_batches(df, batch_size=3, window_start_s=3600).toPandas()
+    assert set(out["batch_id"]).isdisjoint(set(out3["batch_id"]))
+
+
+def test_chunking_scalable_covers_all_rows(spark):
+    rows = [("c", i, "user", f"t{i}", "", _ts(1000 + i)) for i in range(100)]
+    df = _turns(spark, rows)
+    out = assign_batches_scalable(df, batch_size=10, window_start_s=0).toPandas()
+    assert len(out) == 100
+    assert out["batch_ordinal"].nunique() == 10
+    assert out["turn_idx"].nunique() == 100

@@ -1,0 +1,125 @@
+"""X1 packet split + fork consistency (PrioSerializationHelperTest.java:125-152,
+IngestionPipelineIT.java:601-630) and the E2E ingestion job (W4 idempotence)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+    TURNS_WITH_PAYLOAD_SCHEMA,
+)
+from exposure_notifications_private_analytics_ingestion_spark.operators.batching import (
+    assign_batches,
+)
+from exposure_notifications_private_analytics_ingestion_spark.operators.packets import (
+    split_packets,
+)
+from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+    IngestionOptions,
+    run_ingestion,
+)
+from exposure_notifications_private_analytics_ingestion_spark.sources import (
+    generate_turns,
+    generate_turns_with_payload,
+    write_turns_table,
+)
+
+JAN = 1704067200
+
+
+@pytest.fixture(scope="module")
+def payload_packets(spark):
+    pdf = generate_turns_with_payload(n_convs=4, seed=5)
+    df = spark.createDataFrame(pdf, schema=TURNS_WITH_PAYLOAD_SCHEMA)
+    batched = assign_batches(df, batch_size=10, window_start_s=JAN)
+    return split_packets(batched).toPandas(), pdf
+
+
+def test_exactly_two_packets_per_share(payload_packets):
+    pk, pdf = payload_packets
+    assert len(pk) == 2 * len(pdf)
+    per_uuid = pk.groupby("uuid")["destination"].apply(set)
+    assert all(s == {"pha", "facilitator"} for s in per_uuid)
+
+
+def test_key_ids_nulled(payload_packets):
+    # PrioSerializationHelper.java:106-121: encryption_key_id,
+    # version_configuration, device_nonce nulled on output
+    pk, _ = payload_packets
+    assert pk["encryption_key_id"].isna().all()
+    assert pk["version_configuration"].isna().all()
+    assert pk["device_nonce"].isna().all()
+
+
+def test_fork_routing(payload_packets):
+    # share[0] → pha, share[1] → facilitator (BatchWriterFn.java:130-132)
+    pk, pdf = payload_packets
+    row = pdf.iloc[0]
+    uuid = f"{row['conv_id']}#{row['turn_idx']}"
+    mine = pk[pk["uuid"] == uuid].set_index("destination")
+    import base64
+
+    assert bytes(mine.loc["pha", "encrypted_payload"]) == base64.b64decode(
+        row["encrypted_shares"][0]["payload"]
+    )
+    assert bytes(mine.loc["facilitator", "encrypted_payload"]) == base64.b64decode(
+        row["encrypted_shares"][1]["payload"]
+    )
+
+
+def test_run_ingestion_idempotent(spark, tmp_path):
+    pdf = generate_turns(n_convs=30, seed=9, hours=2, dup_frac=0.05)
+    write_turns_table(spark, pdf, str(tmp_path / "turns"))
+    opts = IngestionOptions(window_start_s=JAN, duration_s=7200, batch_size=16)
+    run_ingestion(spark, str(tmp_path / "turns"), str(tmp_path / "out"), opts)
+    h1 = (
+        spark.read.parquet(str(tmp_path / "out/batch_headers"))
+        .select("batch_id", "packet_file_digest")
+        .toPandas()
+        .sort_values("batch_id")
+        .reset_index(drop=True)
+    )
+    run_ingestion(spark, str(tmp_path / "turns"), str(tmp_path / "out"), opts)
+    h2 = (
+        spark.read.parquet(str(tmp_path / "out/batch_headers"))
+        .select("batch_id", "packet_file_digest")
+        .toPandas()
+        .sort_values("batch_id")
+        .reset_index(drop=True)
+    )
+    assert h1.equals(h2)
+    pk = spark.read.parquet(str(tmp_path / "out/packets"))
+    dup = pk.groupBy("conv_id", "turn_idx", "destination").count().filter("count > 1")
+    assert dup.count() == 0
+
+
+def test_header_digest_matches_recomputation(spark, tmp_path):
+    """Manifest verification analog (IngestionPipelineIT.java:632-721):
+    recompute the digest from the packet rows and compare to the header."""
+    pdf = generate_turns(n_convs=10, seed=13, hours=1, dup_frac=0.0)
+    write_turns_table(spark, pdf, str(tmp_path / "t"))
+    opts = IngestionOptions(window_start_s=JAN, duration_s=3600, batch_size=8)
+    run_ingestion(spark, str(tmp_path / "t"), str(tmp_path / "o"), opts)
+    pk = spark.read.parquet(str(tmp_path / "o/packets"))
+    hd = spark.read.parquet(str(tmp_path / "o/batch_headers"))
+    recomputed = (
+        pk.select("batch_id", "destination", "uuid", F.hex("encrypted_payload").alias("ph"))
+        .groupBy("batch_id", "destination")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("uuid", "ph"))),
+                        lambda s: F.concat(s["uuid"], F.lit(":"), s["ph"]),
+                    ),
+                ),
+                256,
+            ).alias("recomputed")
+        )
+    )
+    joined = hd.join(recomputed, ["batch_id", "destination"]).toPandas()
+    assert len(joined) == hd.count()
+    assert (joined["packet_file_digest"] == joined["recomputed"]).all()
