@@ -1,0 +1,135 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline ``value`` is wall-seconds of the flagship end-to-end ingestion
+(validate → dedup → window → batch → split → headers) over the sf events
+stream; ``queries`` carries per-query seconds including a streaming-CEP
+throughput run (turns/sec reported separately in ``extra``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    from exposure_notifications_private_analytics_ingestion_spark import queries as q
+    from exposure_notifications_private_analytics_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="enpa-bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    timings: dict[str, float] = {}
+
+    def bench(name, fn):
+        t0 = time.time()
+        _noop_write(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM + file cache once
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    reg = q.registry()
+    headline = [
+        "validate_filter",
+        "dedup_exact",
+        "window_filter",
+        "tumbling_window_counts",
+        "sliding_window_counts",
+        "session_windows",
+        "group_batches",
+        "packet_split",
+        "batch_headers",
+        "deletion_retention",
+        "hot_key_salted_agg",
+        "lineitem_pricing_summary",
+        "token_count",
+        "quality_score",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup_docs",
+        "minhash_lsh_pairs",
+        "simhash_docs",
+        "ngram_jaccard_pairs",
+        "ivf_topk",
+        "lsh_ann_topk",
+        "multimodal_features",
+    ]
+    for name in headline:
+        bench(name, reg[name][0])
+
+    # flagship e2e (the headline value)
+    t0 = time.time()
+    _noop_write(q.flagship(spark, SF_DIR))
+    e2e = round(time.time() - t0, 3)
+    timings["ingestion_e2e"] = e2e
+
+    # streaming CEP throughput: generated transcript stream through the
+    # stateful assembler + exactly-once sink
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        TURNS_SCHEMA,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+        StreamOptions,
+        start_stream_ingestion,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="enpa-bench-")
+    try:
+        pdf = generate_turns(n_convs=4000, seed=42, hours=4, dup_frac=0.02)
+        n_turns = len(pdf)
+        spark.createDataFrame(pdf, schema=TURNS_SCHEMA).repartition(CPUS).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/turns")
+        t0 = time.time()
+        sq = start_stream_ingestion(
+            spark,
+            f"{tmp}/turns",
+            f"{tmp}/out",
+            f"{tmp}/ck",
+            StreamOptions(batch_size=1000, window_s=3600, watermark="1 hour"),
+        )
+        sq.awaitTermination(600)
+        stream_s = time.time() - t0
+        timings["streaming_ingest"] = round(stream_s, 3)
+        turns_per_sec = round(n_turns / stream_s, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out = {
+        "metric": "flagship ingestion e2e wall time at sf (lower is better)",
+        "value": e2e,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extra": {
+            "streaming_turns_per_sec": turns_per_sec,
+            "streaming_n_turns": n_turns,
+            "cpus": CPUS,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

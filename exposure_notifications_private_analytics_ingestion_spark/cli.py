@@ -1,0 +1,96 @@
+"""spark-submit entry points.
+
+Usage (cluster):
+  spark-submit --py-files enpa_spark.zip -m exposure_..._spark.cli ingest \\
+      --input s3://bucket/turns --output s3://bucket/out \\
+      --window-start 1704067200 --duration 3600 --batch-size 100000
+
+  ... cli stream  --input ... --output ... --checkpoint ... [--continuous]
+  ... cli delete  --table ... --window-start ... [--duration 43200]
+
+Local sandbox: python -m exposure_..._spark.cli <cmd> ... (master local[N]).
+
+Mirrors the reference's three mains: IngestionPipeline (batch),
+the Structured-Streaming rebuild, and DeletionPipeline
+(``pipeline/IngestionPipeline.java:124-162``, ``pipeline/DeletionPipeline.java:40-89``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from .plans.deletion import run_deletion
+from .plans.ingestion import IngestionOptions, run_ingestion
+from .operators.window_filter import calculate_window_start
+from .session import get_spark
+from .streaming import StreamOptions, start_stream_ingestion
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="enpa-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="batch ingestion for one window")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--window-start", type=int, default=None)
+    pi.add_argument("--duration", type=int, default=3600)
+    pi.add_argument("--batch-size", type=int, default=100_000)
+    pi.add_argument("--attestation", default=None)
+    pi.add_argument("--scalable-chunking", action="store_true")
+
+    ps = sub.add_parser("stream", help="continuous streaming ingestion")
+    ps.add_argument("--input", required=True)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--batch-size", type=int, default=100_000)
+    ps.add_argument("--window", type=int, default=3600)
+    ps.add_argument("--watermark", default="1 hour")
+    ps.add_argument("--continuous", action="store_true",
+                    help="keep running (default: availableNow then exit)")
+
+    pd = sub.add_parser("delete", help="retention job (2-window lookback)")
+    pd.add_argument("--table", required=True)
+    pd.add_argument("--window-start", type=int, default=None)
+    pd.add_argument("--duration", type=int, default=43200)
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"enpa-{args.cmd}")
+    now = int(time.time())
+
+    if args.cmd == "ingest":
+        start = calculate_window_start(args.window_start, args.duration, now)
+        opts = IngestionOptions(
+            window_start_s=start,
+            duration_s=args.duration,
+            batch_size=args.batch_size,
+            attestation=args.attestation,
+            scalable_chunking=args.scalable_chunking,
+        )
+        stats = run_ingestion(spark, args.input, args.output, opts)
+        print(json.dumps({"window_start": start, "invalid_counters": stats}))
+    elif args.cmd == "stream":
+        q = start_stream_ingestion(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            StreamOptions(
+                batch_size=args.batch_size,
+                window_s=args.window,
+                watermark=args.watermark,
+            ),
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
+    elif args.cmd == "delete":
+        start = calculate_window_start(args.window_start, args.duration, now)
+        deleted = run_deletion(spark, args.table, start, args.duration)
+        print(json.dumps({"deleted_partitions": deleted}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,2 @@
+from .ingest_stream import StreamOptions, start_stream_ingestion  # noqa: F401
+from .metrics import MetricsListener  # noqa: F401

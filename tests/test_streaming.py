@@ -1,0 +1,132 @@
+"""Streaming CEP core: end-to-end ingest, stateful dedup, batch-close
+semantics, checkpoint resume (no reference analog — demanded by north_rule)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+import pytest
+
+from exposure_notifications_private_analytics_ingestion_spark.model.schema import TURNS_SCHEMA
+from exposure_notifications_private_analytics_ingestion_spark.sources import generate_turns
+from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+    StreamOptions,
+    start_stream_ingestion,
+)
+
+JAN = 1704067200
+
+
+def _write(spark, pdf, path):
+    spark.createDataFrame(pdf, schema=TURNS_SCHEMA).coalesce(2).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run(spark, inp, out, ckpt, **kw):
+    q = start_stream_ingestion(
+        spark, inp, out, ckpt, StreamOptions(batch_size=10, **kw)
+    )
+    q.awaitTermination(240)
+
+
+def _turn(conv, idx, sec, text=None):
+    return {
+        "conv_id": conv,
+        "turn_idx": idx,
+        "role": "user",
+        "text": text or f"{conv}-{idx}",
+        "tool": "",
+        "ts": datetime.fromtimestamp(JAN + sec, tz=timezone.utc).replace(tzinfo=None),
+    }
+
+
+@pytest.mark.slow
+def test_stream_end_to_end_and_resume(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    # phase 1: skewed generated stream with duplicates
+    pdf1 = generate_turns(n_convs=25, seed=31, hours=2, dup_frac=0.05)
+    pdf1["turn_idx"] = pdf1["turn_idx"].astype("int32")
+    _write(spark, pdf1, inp)
+    _run(spark, inp, out, ckpt)
+
+    pk1 = spark.read.parquet(f"{out}/packets")
+    n1 = pk1.count()
+    assert n1 > 0
+    assert (
+        pk1.groupBy("conv_id", "turn_idx", "destination").count().filter("count>1").count()
+        == 0
+    )
+    # fork consistency: same uuids in both destinations
+    pha = pk1.filter("destination='pha'").select("uuid")
+    fac = pk1.filter("destination='facilitator'").select("uuid")
+    assert pha.exceptAll(fac).count() == 0 and fac.exceptAll(pha).count() == 0
+
+    # phase 2: resume from checkpoint with NEW rows (beyond the checkpointed
+    # watermark = phase-1 max ts − 1 h) + REPLAYED duplicates of phase-1 rows.
+    # The replays are older than the watermark and must be dropped as late —
+    # exactly the reference's grace-window bound on re-scans.
+    max_sec = int((pdf1["ts"].max() - pd.Timestamp("2024-01-01")).total_seconds())
+    dup_replay = pdf1.drop_duplicates(["conv_id", "turn_idx"]).tail(30)
+    new_rows = pd.DataFrame(
+        [_turn("conv-new", i, max_sec + 60 + i * 10) for i in range(25)]
+    )
+    # watermark advancer: pushes the watermark past conv-new's window end so
+    # its partial batch flushes on event-time timeout
+    advancer = pd.DataFrame(
+        [_turn("conv-wm", i, max_sec + 3 * 3600 + i) for i in range(3)]
+    )
+    pdf2 = pd.concat([dup_replay, new_rows, advancer], ignore_index=True)
+    pdf2["turn_idx"] = pdf2["turn_idx"].astype("int32")
+    _write(spark, pdf2, inp)
+    _run(spark, inp, out, ckpt)
+
+    pk2 = spark.read.parquet(f"{out}/packets")
+    # new conversation made it through
+    assert pk2.filter("conv_id = 'conv-new'").count() == 50  # 25 turns × 2
+    # replayed duplicates within the open window did not double-emit
+    dups = (
+        pk2.groupBy("conv_id", "turn_idx", "destination")
+        .count()
+        .filter("count > 1")
+    )
+    assert dups.count() == 0
+
+
+@pytest.mark.slow
+def test_batch_close_on_size_and_window(spark, tmp_path):
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # conv-a: 23 turns in window 0 → two size-closed batches of 10 + partial 3
+    rows = [_turn("conv-a", i, i) for i in range(23)]
+    # conv-a turn in the NEXT window → forces the partial batch of window 0
+    # to close with reason 'window'
+    rows.append(_turn("conv-a", 100, 3700))
+    # advance the watermark well past window 0 via another conversation
+    rows += [_turn("conv-wm", i, 9000 + i) for i in range(3)]
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    _write(spark, pdf, inp)
+    _run(spark, inp, out, ckpt)
+
+    pk = spark.read.parquet(f"{out}/packets").filter("conv_id='conv-a'").toPandas()
+    w0 = pk[pk["window_start_s"] == JAN]
+    pha = w0[w0["destination"] == "pha"]
+    sizes = pha.groupby("batch_id").size().sort_values(ascending=False).tolist()
+    assert sizes == [10, 10, 3]
+    reasons = set(
+        pha.merge(
+            pha.groupby("batch_id").size().rename("n").reset_index(), on="batch_id"
+        )["close_reason"]
+    )
+    assert "size" in reasons and "window" in reasons
+    # batch ids deterministic: uuid5(conv|window|ordinal)
+    import uuid as u
+
+    from exposure_notifications_private_analytics_ingestion_spark.functions.hashing import (
+        NAMESPACE,
+    )
+
+    expected0 = str(u.uuid5(NAMESPACE, f"conv-a|{JAN}|0"))
+    assert expected0 in set(pha["batch_id"])
