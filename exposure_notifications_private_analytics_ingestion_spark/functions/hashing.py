@@ -24,7 +24,29 @@ NAMESPACE = uuid.UUID("6ba7b810-9dad-11d1-80b4-00c04fd430c8")  # uuid.NAMESPACE_
 
 @F.pandas_udf(T.StringType())
 def uuid5_udf(name: pd.Series) -> pd.Series:
+    """Reference implementation (stdlib); used in tests to certify uuid5_col."""
     return name.map(lambda s: str(uuid.uuid5(NAMESPACE, s)))
+
+
+def uuid5_col(name: Column) -> Column:
+    """RFC-4122 v5 UUID computed ENTIRELY JVM-side (sha1 + string ops) —
+    bit-identical to ``uuid.uuid5(NAMESPACE, name)`` but with no Python in
+    the plan (keeps the batch-id path inside whole-stage codegen; at 10^12
+    rows the Arrow round-trip this replaces was the hot path's only
+    non-JVM stage). Version nibble := 5; variant nibble := (x & 3) | 8."""
+    h = F.sha1(F.concat(F.unhex(F.lit(NAMESPACE.hex)), F.encode(name, "UTF-8")))
+    variant = F.conv(F.substring(h, 17, 1), 16, 10).cast(T.IntegerType())
+    variant_patched = F.lower(
+        F.conv(((variant % 4) + 8).cast(T.StringType()), 10, 16)
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant_patched, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
 
 
 def hex_to_long(col: Column, n_hex: int = 15) -> Column:

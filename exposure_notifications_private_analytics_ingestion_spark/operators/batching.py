@@ -28,12 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import uuid5_udf
+from ..functions.hashing import uuid5_col
 
 
 def _batch_uuid(key_expr, window_start_s: int, ordinal_col):
     name = F.concat_ws("|", key_expr, F.lit(str(window_start_s)), ordinal_col.cast("string"))
-    return uuid5_udf(name)
+    return uuid5_col(name)  # JVM-side uuid5 — no Python in the hot path
 
 
 def assign_batches(
@@ -53,6 +53,58 @@ def assign_batches(
     out = df.withColumn(
         "batch_ordinal",
         F.floor((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )
+    key_expr = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    return out.withColumn(
+        "batch_id", _batch_uuid(key_expr, window_start_s, F.col("batch_ordinal"))
+    )
+
+
+def dedup_window_chunk(
+    df: DataFrame,
+    batch_size: int,
+    window_start_s: int,
+    duration_s: int,
+    key_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fused D1+F1+G1: deterministic dedup, window filter, and fixed-size
+    chunking behind a SINGLE exchange.
+
+    Trick: ``repartition(key)`` gives HashPartitioning(key), which satisfies
+    the ClusteredDistribution of BOTH window specs — dedup's
+    ``partitionBy(key, turn_idx)`` (partitioning on a *subset* of the
+    clustering keys still co-locates every full key) and chunking's
+    ``partitionBy(key)``. The dedup window's sort order
+    ``(key, turn_idx, row_hash)`` is a prefix-superset of the chunking
+    window's ``(key, turn_idx)``, so Catalyst inserts ONE sort total.
+    Net plan: Exchange → Sort → Window → Filter → Window → …, versus the
+    unfused pipeline's two exchanges + four sorts (SortAggregate dedup is
+    unavoidable once string payloads ride the aggregation buffer).
+
+    Dedup winner = min row-hash (xxhash64 over all non-key columns):
+    deterministic under replay, same contract as dedup_turns_deterministic.
+    """
+    key_cols = key_cols or ["conv_id"]
+    order_cols = order_cols or ["turn_idx"]
+    rest = [c for c in df.columns if c not in key_cols and c not in order_cols]
+    w_dedup = Window.partitionBy(*key_cols, *order_cols).orderBy(
+        F.xxhash64(*[F.col(c) for c in rest])
+    )
+    w_chunk = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    ts_ms = F.expr(f"unix_micros({ts_col}) div 1000")
+    lo, hi = window_start_s * 1000, (window_start_s + duration_s) * 1000
+    out = (
+        df.repartition(*[F.col(c) for c in key_cols])
+        .withColumn("_rn_dedup", F.row_number().over(w_dedup))
+        .filter(F.col("_rn_dedup") == 1)
+        .filter(F.col(ts_col).isNotNull() & (ts_ms >= lo) & (ts_ms < hi))
+        .withColumn(
+            "batch_ordinal",
+            F.floor((F.row_number().over(w_chunk) - 1) / batch_size).cast("int"),
+        )
+        .drop("_rn_dedup")
     )
     key_expr = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     return out.withColumn(

@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 
 from ..model.validate import split_valid
 from ..operators.attestation import get_attestation
-from ..operators.batching import assign_batches, assign_batches_scalable
+from ..operators.batching import (
+    assign_batches,
+    assign_batches_scalable,
+    dedup_window_chunk,
+)
 from ..operators.dedup import dedup_turns_deterministic
 from ..operators.packets import split_packets
 from ..operators.window_filter import window_filter
@@ -71,19 +75,36 @@ def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, Dat
             .agg(F.count("*").alias("n"))
         )
 
-    # dedup BEFORE the window filter, mirroring reference op order
-    # (IngestionPipeline.java:110-120: Distinct precedes DateFilterFn)
-    deduped = dedup_turns_deterministic(valid)
-    windowed = window_filter(deduped, opts.window_start_s, opts.duration_s)
-
     stage = get_attestation(opts.attestation)
-    if stage is not None:
-        windowed = stage(windowed)
 
-    chunker = assign_batches_scalable if opts.scalable_chunking else assign_batches
-    batched = chunker(
-        windowed, opts.batch_size, opts.window_start_s, key_cols=opts.key_cols
-    )
+    if opts.scalable_chunking:
+        # hot-key path: no per-key sort; dedup → window → hash-routed chunks
+        deduped = dedup_turns_deterministic(valid)
+        windowed = window_filter(deduped, opts.window_start_s, opts.duration_s)
+        if stage is not None:
+            windowed = stage(windowed)
+        batched = assign_batches_scalable(
+            windowed, opts.batch_size, opts.window_start_s, key_cols=opts.key_cols
+        )
+    elif stage is not None:
+        # attestation must sit between window filter and chunking (reference
+        # op order F1→F2→K1, IngestionPipeline.java:61-89) — unfused path
+        deduped = dedup_turns_deterministic(valid)
+        windowed = stage(window_filter(deduped, opts.window_start_s, opts.duration_s))
+        batched = assign_batches(
+            windowed, opts.batch_size, opts.window_start_s, key_cols=opts.key_cols
+        )
+    else:
+        # fused D1+F1+G1: one exchange, one sort (see dedup_window_chunk);
+        # dedup still precedes the window filter, mirroring reference op
+        # order (IngestionPipeline.java:110-120)
+        batched = dedup_window_chunk(
+            valid,
+            opts.batch_size,
+            opts.window_start_s,
+            opts.duration_s,
+            key_cols=opts.key_cols,
+        )
     packets = split_packets(batched)
     headers = build_headers(packets, opts)
     return packets, headers, counters
