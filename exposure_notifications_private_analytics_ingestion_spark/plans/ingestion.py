@@ -172,6 +172,31 @@ def build_headers(packets: DataFrame, opts: IngestionOptions) -> DataFrame:
     return agg
 
 
+def build_signatures(
+    headers: DataFrame,
+    key_id: str = "sandbox-keyed-digest-v1",
+    secret: str = "enpa-sandbox-secret",
+) -> DataFrame:
+    """W3 — batch-header signature file (``PrioBatchSignature``:
+    ``pipeline/BatchWriterFn.java:225-239`` signs the header's SHA-256 via
+    GCP KMS asymmetricSign). No KMS in the sandbox: stand-in is a keyed
+    digest ``sha256(secret | header_digest | secret)`` behind the same
+    (batch_id, signature, key_identifier) interface — swap the column
+    expression for a KMS/KDF call on a real deployment."""
+    sig = F.sha2(
+        F.concat_ws(
+            "|", F.lit(secret), F.col("packet_file_digest"), F.lit(secret)
+        ),
+        256,
+    )
+    return headers.select(
+        "batch_id",
+        "destination",
+        sig.alias("batch_header_signature"),
+        F.lit(key_id).alias("key_identifier"),
+    )
+
+
 def run_ingestion(
     spark: SparkSession,
     input_path: str,
@@ -204,6 +229,19 @@ def run_ingestion(
         df = df.filter(F.col("ts_hour").isin(hours)).drop("ts_hour")
 
     packets, headers, counters = process_turns(df, opts)
+
+    # M2 — observed counters riding the write action (Beam Metrics analog,
+    # model/DataShare.java:46-55, dump IngestionPipeline.java:140-155)
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest")
+    packets = packets.observe(
+        obs,
+        F.count(F.lit(1)).alias("packets_written"),
+        F.approx_count_distinct("batch_id").alias("batches_approx"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
     packets = packets.withColumn(
         "window_start_s", F.lit(opts.window_start_s)
     ).repartition("batch_id")
@@ -214,12 +252,23 @@ def run_ingestion(
         .partitionBy("window_start_s", "destination")
         .parquet(f"{output_root}/packets")
     )
+    headers = headers.persist()
     (
         headers.withColumn("window_start_s", F.lit(opts.window_start_s))
         .write.mode("overwrite")
         .partitionBy("window_start_s", "destination")
         .parquet(f"{output_root}/batch_headers")
     )
+    # W3 — the signature leg of the reference's Avro triplet
+    (
+        build_signatures(headers)
+        .withColumn("window_start_s", F.lit(opts.window_start_s))
+        .write.mode("overwrite")
+        .partitionBy("window_start_s", "destination")
+        .parquet(f"{output_root}/signatures")
+    )
+    headers.unpersist()
     stats_rows = counters.collect()
     stats = {r["invalid_reason"]: r["n"] for r in stats_rows}
+    stats.update({k: str(v) for k, v in obs.get.items()})
     return stats

@@ -46,6 +46,8 @@ class StreamOptions:
     window_s: int = 3600  # tumbling window (reference `duration`)
     watermark: str = "1 hour"  # late-data grace (reference graceHours)
     flush_partial_on_timeout: bool = True
+    mode: str = "tumbling"  # 'tumbling' | 'session' (gap-close, north_rule)
+    session_gap_s: int = 1800
 
 
 # one output row per turn in a CLOSED batch
@@ -71,6 +73,7 @@ STATE_SCHEMA = T.StructType(
         T.StructField("buf_idx", T.ArrayType(T.IntegerType()), True),
         T.StructField("buf_text", T.ArrayType(T.StringType()), True),
         T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
+        T.StructField("last_ts_ms", T.LongType(), True),  # session mode
     ]
 )
 
@@ -87,6 +90,8 @@ def make_assembler(opts: StreamOptions):
     batch_size = opts.batch_size
     window_s = opts.window_s
     flush = opts.flush_partial_on_timeout
+    session_mode = opts.mode == "session"
+    gap_ms = opts.session_gap_s * 1000
 
     def assemble(
         key: tuple,
@@ -95,11 +100,11 @@ def make_assembler(opts: StreamOptions):
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.exists:
-            window_start, next_ord, seen, bidx, btxt, bts = state.get
+            window_start, next_ord, seen, bidx, btxt, bts, last_ts_ms = state.get
             seen = set(seen)
             bidx, btxt, bts = list(bidx), list(btxt), list(bts)
         else:
-            window_start, next_ord = None, 0
+            window_start, next_ord, last_ts_ms = None, 0, None
             seen, bidx, btxt, bts = set(), [], [], []
 
         out_rows: list[dict] = []
@@ -140,16 +145,29 @@ def make_assembler(opts: StreamOptions):
                 pdf["turn_idx"], pdf["text"], pdf["ts"]
             ):
                 ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
-                w = (ts_ms // 1000) // window_s * window_s
-                if window_start is None:
-                    window_start = w
-                if w != window_start:
-                    # turn belongs to a different tumbling window: close the
-                    # open one (late rows re-open with a fresh ordinal space)
-                    close_batch("window")
-                    window_start = w
-                    next_ord = 0
-                    seen = set()
+                if session_mode:
+                    # gap-close: a silence > gap ends the session window
+                    # (F.session_window semantics, north_rule)
+                    if last_ts_ms is not None and ts_ms - last_ts_ms > gap_ms:
+                        close_batch("session")
+                        window_start = ts_ms // 1000
+                        next_ord = 0
+                        seen = set()
+                    if window_start is None:
+                        window_start = ts_ms // 1000
+                    last_ts_ms = ts_ms
+                else:
+                    w = (ts_ms // 1000) // window_s * window_s
+                    if window_start is None:
+                        window_start = w
+                    if w != window_start:
+                        # turn belongs to a different tumbling window: close
+                        # the open one (late rows re-open with a fresh
+                        # ordinal space)
+                        close_batch("window")
+                        window_start = w
+                        next_ord = 0
+                        seen = set()
                 if int(turn_idx) in seen:  # stateful dedup (D1)
                     continue
                 seen.add(int(turn_idx))
@@ -167,16 +185,32 @@ def make_assembler(opts: StreamOptions):
                 bidx,
                 btxt,
                 bts,
+                last_ts_ms,
             )
         )
         if window_start is not None:
-            # event-time timeout at window end; must exceed current watermark
-            end_ms = (window_start + window_s) * 1000
+            # event-time timeout: tumbling → window end; session → last+gap.
+            # Must exceed the current watermark to be accepted.
+            if session_mode:
+                end_ms = (last_ts_ms or 0) + gap_ms
+            else:
+                end_ms = (window_start + window_s) * 1000
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max(end_ms, wm + 1))
         yield pd.DataFrame(out_rows, columns=[f.name for f in BATCH_OUT_SCHEMA])
 
     return assemble
+
+
+def dedup_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Built-in streaming dedup (D1, built-in-first path): one row per
+    (conv_id, turn_idx) within the watermark horizon, state expired by the
+    engine. Use when batch assembly is NOT needed downstream — the CEP
+    assembler performs its own in-state dedup to avoid stacking two state
+    stores."""
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
 
 
 def closed_batches_stream(

@@ -130,3 +130,63 @@ def test_batch_close_on_size_and_window(spark, tmp_path):
 
     expected0 = str(u.uuid5(NAMESPACE, f"conv-a|{JAN}|0"))
     assert expected0 in set(pha["batch_id"])
+
+
+@pytest.mark.slow
+def test_session_window_close(spark, tmp_path):
+    """Session mode: a silence > gap closes the batch (close_reason='session')."""
+    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+        StreamOptions,
+        start_stream_ingestion,
+    )
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [_turn("conv-s", i, i * 10) for i in range(5)]          # session 1
+    rows += [_turn("conv-s", 100 + i, 4000 + i * 10) for i in range(4)]  # gap > 30 min
+    rows += [_turn("conv-wm", i, 20000 + i) for i in range(3)]     # advance watermark
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    _write(spark, pdf, inp)
+    q = start_stream_ingestion(
+        spark, inp, out, ckpt,
+        StreamOptions(batch_size=100, mode="session", session_gap_s=1800,
+                      watermark="10 minutes"),
+    )
+    q.awaitTermination(240)
+    pk = spark.read.parquet(f"{out}/packets").filter("conv_id='conv-s'").toPandas()
+    pha = pk[pk["destination"] == "pha"]
+    # two sessions: first closed by the gap, second flushed by timeout
+    assert pha["batch_id"].nunique() == 2
+    by_reason = pha.groupby("close_reason")["turn_idx"].count().to_dict()
+    assert by_reason.get("session") == 5
+    assert by_reason.get("window") == 4
+    # session boundaries respected: first session holds exactly turns 0-4
+    first = pha[pha["close_reason"] == "session"]
+    assert sorted(first["turn_idx"]) == [0, 1, 2, 3, 4]
+
+
+def test_dedup_stream_builtin(spark, tmp_path):
+    from exposure_notifications_private_analytics_ingestion_spark.streaming.ingest_stream import (
+        dedup_stream,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        TURNS_SCHEMA,
+    )
+
+    rows = [_turn("a", 0, 10), _turn("a", 0, 10), _turn("a", 1, 20)]
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    inp = str(tmp_path / "in")
+    _write(spark, pdf, inp)
+    stream = spark.readStream.schema(TURNS_SCHEMA).parquet(inp)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select conv_id, turn_idx from dedup_out").collect()
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in got) == [("a", 0), ("a", 1)]
