@@ -233,6 +233,11 @@ def closed_batches_stream(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def start_stream_ingestion(
     spark: SparkSession,
     input_path: str,
@@ -240,11 +245,22 @@ def start_stream_ingestion(
     checkpoint: str,
     opts: StreamOptions | None = None,
     available_now: bool = True,
+    rocksdb_state: bool = True,
 ):
-    """Full streaming job: CEP core → packet split → idempotent epoch sink."""
+    """Full streaming job: CEP core → packet split → idempotent epoch sink.
+
+    State store defaults to RocksDB (spill-to-disk, changelog checkpointing)
+    — at 10^12 turns the per-conv dedup/buffer state cannot live in the
+    HDFS-backed in-memory map. The provider is per-query-start config and is
+    recorded in the checkpoint; resuming keeps whatever the checkpoint used.
+    """
     from .sink import make_epoch_sink
 
     opts = opts or StreamOptions()
+    if rocksdb_state:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     batches = closed_batches_stream(spark, input_path, opts)
     writer = (
         batches.writeStream.foreachBatch(make_epoch_sink(output_root))
