@@ -228,7 +228,7 @@ def run_ingestion(
             cur += timedelta(hours=1)
         df = df.filter(F.col("ts_hour").isin(hours)).drop("ts_hour")
 
-    packets, headers, counters = process_turns(df, opts)
+    packets, _headers_unused, counters = process_turns(df, opts)
 
     # M2 — observed counters riding the write action (Beam Metrics analog,
     # model/DataShare.java:46-55, dump IngestionPipeline.java:140-155)
@@ -242,9 +242,13 @@ def run_ingestion(
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
-    packets = packets.withColumn(
-        "window_start_s", F.lit(opts.window_start_s)
-    ).repartition("batch_id")
+    # persist the fan-out once: headers + signatures derive from it, and
+    # without the cache each write re-executes the whole core
+    packets = (
+        packets.withColumn("window_start_s", F.lit(opts.window_start_s))
+        .repartition("batch_id")
+        .persist()
+    )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
@@ -252,7 +256,9 @@ def run_ingestion(
         .partitionBy("window_start_s", "destination")
         .parquet(f"{output_root}/packets")
     )
-    headers = headers.persist()
+    # headers/signatures derive from the CACHED fan-out (and the groupBy on
+    # (batch_id, destination) is exchange-free on the batch_id partitioning)
+    headers = build_headers(packets, opts).persist()
     (
         headers.withColumn("window_start_s", F.lit(opts.window_start_s))
         .write.mode("overwrite")
@@ -268,6 +274,7 @@ def run_ingestion(
         .parquet(f"{output_root}/signatures")
     )
     headers.unpersist()
+    packets.unpersist()
     stats_rows = counters.collect()
     stats = {r["invalid_reason"]: r["n"] for r in stats_rows}
     stats.update({k: str(v) for k, v in obs.get.items()})

@@ -16,9 +16,7 @@ event_type, ts := ts (FIXTURES.md §5).
 
 from __future__ import annotations
 
-import hashlib
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.batching import assign_batches

@@ -64,16 +64,24 @@ BATCH_OUT_SCHEMA = T.StructType(
     ]
 )
 
-# state: per-conv open window + dedup set + buffered turns + ordinal counter
+# state: per-conversation MAP of open windows (tumbling) or open sessions
+# (session mode). Parallel arrays indexed by open window; each window carries
+# its own dedup set, buffer, and ordinal counter. Multiple windows stay open
+# simultaneously because rows arrive out-of-order ACROSS microbatches within
+# the watermark horizon — a single-open-window state re-emits duplicates and
+# reuses batch ids when an earlier window is revisited (found at 2.4M-turn
+# scale; the reference sidesteps this by re-scanning whole hours in batch).
+# A window is evicted only when the watermark passes its end, so its ordinal
+# space is never reused and late rows within grace always land in live state.
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("window_start_s", T.LongType(), True),
-        T.StructField("next_ordinal", T.IntegerType(), True),
-        T.StructField("seen_idx", T.ArrayType(T.IntegerType()), True),
-        T.StructField("buf_idx", T.ArrayType(T.IntegerType()), True),
-        T.StructField("buf_text", T.ArrayType(T.StringType()), True),
-        T.StructField("buf_ts", T.ArrayType(T.LongType()), True),
-        T.StructField("last_ts_ms", T.LongType(), True),  # session mode
+        T.StructField("w_start", T.ArrayType(T.LongType()), True),
+        T.StructField("w_next_ord", T.ArrayType(T.IntegerType()), True),
+        T.StructField("w_last_ts", T.ArrayType(T.LongType()), True),  # sessions
+        T.StructField("w_seen", T.ArrayType(T.ArrayType(T.IntegerType())), True),
+        T.StructField("w_buf_idx", T.ArrayType(T.ArrayType(T.IntegerType())), True),
+        T.StructField("w_buf_text", T.ArrayType(T.ArrayType(T.StringType())), True),
+        T.StructField("w_buf_ts", T.ArrayType(T.ArrayType(T.LongType())), True),
     ]
 )
 
@@ -99,105 +107,145 @@ def make_assembler(opts: StreamOptions):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
+        # wins: window_start_s -> [next_ord, last_ts_ms, seen:set,
+        #                          bidx:list, btxt:list, bts:list]
+        wins: dict[int, list] = {}
         if state.exists:
-            window_start, next_ord, seen, bidx, btxt, bts, last_ts_ms = state.get
-            seen = set(seen)
-            bidx, btxt, bts = list(bidx), list(btxt), list(bts)
-        else:
-            window_start, next_ord, last_ts_ms = None, 0, None
-            seen, bidx, btxt, bts = set(), [], [], []
+            ws, nords, lasts, seens, bidxs, btxts, btss = state.get
+            for i, w in enumerate(ws):
+                wins[w] = [
+                    nords[i], lasts[i], set(seens[i]),
+                    list(bidxs[i]), list(btxts[i]), list(btss[i]),
+                ]
 
-        out_rows: list[dict] = []
+        # columnar output accumulators (dict-of-lists -> one pdf at the end)
+        o_idx: list[int] = []
+        o_txt: list[str] = []
+        o_ts: list[int] = []
+        o_win: list[int] = []
+        o_ord: list[int] = []
+        o_bid: list[str] = []
+        o_why: list[str] = []
 
-        def close_batch(reason: str):
-            nonlocal next_ord, bidx, btxt, bts
-            if not bidx:
+        def close_batch(w: int, e: list, reason: str):
+            if not e[3]:
                 return
-            bid = _batch_id(conv_id, window_start, next_ord)
-            for i in range(len(bidx)):
-                out_rows.append(
-                    {
-                        "conv_id": conv_id,
-                        "turn_idx": bidx[i],
-                        "text": btxt[i],
-                        "ts_ms": bts[i],
-                        "window_start_s": window_start,
-                        "batch_ordinal": next_ord,
-                        "batch_id": bid,
-                        "close_reason": reason,
-                    }
+            n = len(e[3])
+            bid = _batch_id(conv_id, w, e[0])
+            o_idx.extend(e[3])
+            o_txt.extend(e[4])
+            o_ts.extend(e[5])
+            o_win.extend([w] * n)
+            o_ord.extend([e[0]] * n)
+            o_bid.extend([bid] * n)
+            o_why.extend([reason] * n)
+            e[0] += 1
+            e[3], e[4], e[5] = [], [], []
+
+        def out_pdf() -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": pd.array(o_idx, dtype="int32"),
+                    "text": o_txt,
+                    "ts_ms": o_ts,
+                    "window_start_s": o_win,
+                    "batch_ordinal": pd.array(o_ord, dtype="int32"),
+                    "batch_id": o_bid,
+                    "close_reason": o_why,
+                }
+            )
+
+        def end_ms(w: int, e: list) -> int:
+            return (e[1] + gap_ms) if session_mode else (w + window_s) * 1000
+
+        def save_and_arm():
+            if not wins:
+                state.remove()
+                return
+            items = sorted(wins.items())
+            state.update(
+                (
+                    [w for w, _ in items],
+                    [e[0] for _, e in items],
+                    [e[1] for _, e in items],
+                    [sorted(e[2]) for _, e in items],
+                    [e[3] for _, e in items],
+                    [e[4] for _, e in items],
+                    [e[5] for _, e in items],
                 )
-            next_ord += 1
-            bidx, btxt, bts = [], [], []
+            )
+            wm = state.getCurrentWatermarkMs()
+            nxt = min(end_ms(w, e) for w, e in items)
+            state.setTimeoutTimestamp(max(nxt, wm + 1))
 
         if state.hasTimedOut:
-            # watermark passed the open window's end → flush partial batch,
-            # drop the window's dedup state (watermark-bounded state)
-            if flush:
-                close_batch("window")
-            state.remove()
-            yield pd.DataFrame(out_rows, columns=[f.name for f in BATCH_OUT_SCHEMA])
+            # evict every window/session the watermark has passed; flush its
+            # partial batch; keep (and re-arm for) the rest
+            wm = state.getCurrentWatermarkMs()
+            reason = "session" if session_mode else "window"
+            for w in sorted(wins):
+                if end_ms(w, wins[w]) <= wm:
+                    if flush:
+                        close_batch(w, wins[w], reason)
+                    del wins[w]
+            save_and_arm()
+            if o_idx:
+                yield out_pdf()
             return
 
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "turn_idx"])
-            for turn_idx, text, ts in zip(
-                pdf["turn_idx"], pdf["text"], pdf["ts"]
+            # vectorized ts->ms then one python sort of tuples
+            ts_ms_arr = (
+                pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64") // 1000
+            )
+            for ts_ms, turn_idx, text in sorted(
+                zip(ts_ms_arr.tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist())
             ):
-                ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+                turn_idx = int(turn_idx)
                 if session_mode:
-                    # gap-close: a silence > gap ends the session window
-                    # (F.session_window semantics, north_rule)
-                    if last_ts_ms is not None and ts_ms - last_ts_ms > gap_ms:
-                        close_batch("session")
-                        window_start = ts_ms // 1000
-                        next_ord = 0
-                        seen = set()
-                    if window_start is None:
-                        window_start = ts_ms // 1000
-                    last_ts_ms = ts_ms
+                    # find a session this row extends: [start-gap, last+gap]
+                    w = None
+                    for s in sorted(wins):
+                        e = wins[s]
+                        if s * 1000 - gap_ms <= ts_ms <= e[1] + gap_ms:
+                            w = s
+                            break
+                    if w is None:
+                        w = ts_ms // 1000
+                        wins[w] = [0, ts_ms, set(), [], [], []]
+                    e = wins[w]
+                    e[1] = max(e[1], ts_ms)
+                    # bridge-merge: absorb any later session now within gap
+                    for s in sorted(k for k in wins if k > w):
+                        if s * 1000 - gap_ms <= e[1] + gap_ms:
+                            o = wins.pop(s)
+                            # keep w's ordinal space; union dedup + buffers
+                            e[1] = max(e[1], o[1])
+                            e[2] |= o[2]
+                            e[3] += o[3]
+                            e[4] += o[4]
+                            e[5] += o[5]
+                        else:
+                            break
                 else:
                     w = (ts_ms // 1000) // window_s * window_s
-                    if window_start is None:
-                        window_start = w
-                    if w != window_start:
-                        # turn belongs to a different tumbling window: close
-                        # the open one (late rows re-open with a fresh
-                        # ordinal space)
-                        close_batch("window")
-                        window_start = w
-                        next_ord = 0
-                        seen = set()
-                if int(turn_idx) in seen:  # stateful dedup (D1)
+                    e = wins.get(w)
+                    if e is None:
+                        e = wins[w] = [0, ts_ms, set(), [], [], []]
+                    e[1] = max(e[1], ts_ms)
+                if turn_idx in e[2]:  # stateful dedup (D1), per window
                     continue
-                seen.add(int(turn_idx))
-                bidx.append(int(turn_idx))
-                btxt.append(text)
-                bts.append(ts_ms)
-                if len(bidx) >= batch_size:
-                    close_batch("size")
+                e[2].add(turn_idx)
+                e[3].append(turn_idx)
+                e[4].append(text)
+                e[5].append(ts_ms)
+                if len(e[3]) >= batch_size:
+                    close_batch(w, e, "size")
 
-        state.update(
-            (
-                window_start,
-                next_ord,
-                sorted(seen),
-                bidx,
-                btxt,
-                bts,
-                last_ts_ms,
-            )
-        )
-        if window_start is not None:
-            # event-time timeout: tumbling → window end; session → last+gap.
-            # Must exceed the current watermark to be accepted.
-            if session_mode:
-                end_ms = (last_ts_ms or 0) + gap_ms
-            else:
-                end_ms = (window_start + window_s) * 1000
-            wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(end_ms, wm + 1))
-        yield pd.DataFrame(out_rows, columns=[f.name for f in BATCH_OUT_SCHEMA])
+        save_and_arm()
+        if o_idx:
+            yield out_pdf()
 
     return assemble
 
