@@ -339,6 +339,89 @@ FROM events GROUP BY user_id
 """
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    """Multi-join with broadcast dims (engine-completeness check; the
+    reference has no joins — SURVEY §2.1). customer/nation/region are tiny →
+    Catalyst broadcasts them; lineitem⋈orders is the one sort-merge join."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_spenders_per_type(spark, sf_dir):
+    """Top-3 users by summed value per event_type (rank window, deterministic
+    tiebreak)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "total_value", "rank")
+    )
+
+
+SQL_TOP_SPENDERS = """
+WITH p AS (SELECT event_type, user_id, round(sum(value), 4) AS total_value
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY total_value DESC, user_id ASC) AS rank FROM p)
+SELECT event_type, user_id, total_value, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_distinct_users_hourly(spark, sf_dir):
+    """Exact distinct aggregation (expand-based two-phase count distinct)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.expr("unix_micros(w.start) div 1000").alias("window_start_ms"),
+            "n_users",
+        )
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT epoch_us(date_trunc('day', ts)) // 1000 AS window_start_ms,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def q_lineitem_pricing_summary(spark, sf_dir):
     """Windowed hash-agg with partial aggregation (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -616,6 +699,9 @@ def registry() -> dict[str, tuple]:
         "metrics_rollup": (q_metrics_rollup, SQL_ROLLUP),
         "hot_key_salted_agg": (q_hot_key_salted_agg, SQL_SALTED),
         "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_Q1),
+        "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
+        "top_spenders_per_type": (q_top_spenders_per_type, SQL_TOP_SPENDERS),
+        "distinct_users_hourly": (q_distinct_users_hourly, SQL_DISTINCT_USERS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "quality_score": (q_quality_score, SQL_QUALITY),
         "lang_id": (q_lang_id, _sql_lang_id()),
