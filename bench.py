@@ -90,10 +90,13 @@ def main():
         generate_turns,
     )
     from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+        MetricsListener,
         StreamOptions,
         start_stream_ingestion,
     )
 
+    ml = MetricsListener()
+    spark.streams.addListener(ml)
     tmp = tempfile.mkdtemp(prefix="enpa-bench-")
     try:
         pdf = generate_turns(n_convs=4000, seed=42, hours=4, dup_frac=0.02)
@@ -125,6 +128,7 @@ def main():
         "extra": {
             "streaming_turns_per_sec": turns_per_sec,
             "streaming_n_turns": n_turns,
+            "batch_close_p95_ms": ml.batch_close_p95_ms(),
             "cpus": CPUS,
         },
     }
