@@ -601,6 +601,40 @@ WHERE round(ni / (x.n + y.n - ni), 6) >= 0.05
 """
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Dedup capstone: connected components over verified near-dup pairs
+    (iterative min-label propagation; oracle = recursive CTE)."""
+    from .operators.clustering import connected_components
+
+    pairs = ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.05)
+    return connected_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_NEAR_DUP_CC = """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      FROM d WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+i AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+p AS (SELECT da AS doc_a, db AS doc_b FROM i
+      JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+      WHERE round(ni / (x.n + y.n - ni), 6) >= 0.05),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(s, t) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+)
+SELECT s AS doc_id, least(s, min(t)) AS component FROM reach GROUP BY s
+"""
+
+
 # ------------------------------------------------------ embeddings corpus
 
 _Q_PREP_SQL = """
@@ -710,6 +744,7 @@ def registry() -> dict[str, tuple]:
         "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
         "simhash_docs": (q_simhash, _sql_simhash()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_CC),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "cosine_near_dup_pairs": (q_cosine_near_dup, SQL_COSINE_PAIRS),
         "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
