@@ -48,6 +48,7 @@ class StreamOptions:
     flush_partial_on_timeout: bool = True
     mode: str = "tumbling"  # 'tumbling' | 'session' (gap-close, north_rule)
     session_gap_s: int = 1800
+    max_files_per_trigger: int = 64  # source micro-batch sizing
 
 
 # one output row per turn in a CLOSED batch
@@ -216,9 +217,10 @@ def make_assembler(opts: StreamOptions):
                         wins[w] = [0, ts_ms, set(), [], [], []]
                     e = wins[w]
                     e[1] = max(e[1], ts_ms)
-                    # bridge-merge: absorb any later session now within gap
+                    # bridge-merge: absorb any later session whose interval
+                    # now overlaps ours ([start, last+gap) touching)
                     for s in sorted(k for k in wins if k > w):
-                        if s * 1000 - gap_ms <= e[1] + gap_ms:
+                        if s * 1000 < e[1] + gap_ms:
                             o = wins.pop(s)
                             # keep w's ordinal space; union dedup + buffers
                             e[1] = max(e[1], o[1])
@@ -267,7 +269,7 @@ def closed_batches_stream(
     """readStream → watermark → keyed CEP state → closed-batch rows."""
     raw = (
         spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", "64")
+        .option("maxFilesPerTrigger", str(opts.max_files_per_trigger))
         .parquet(input_path)
     )
     turns = raw.filter(F.col("ts").isNotNull() & F.col("text").isNotNull())

@@ -194,3 +194,79 @@ def test_dedup_stream_builtin(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select conv_id, turn_idx from dedup_out").collect()
     assert sorted((r["conv_id"], r["turn_idx"]) for r in got) == [("a", 0), ("a", 1)]
+
+
+@pytest.mark.slow
+def test_cross_epoch_out_of_order_no_duplicates(spark, tmp_path):
+    """The 2.4M-scale regression, shrunk: two single-file epochs deliver a
+    conversation's windows out of event-time order; per-window state must
+    neither re-emit nor reuse ordinal space (the single-open-window bug)."""
+    import pandas as pd
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # file 1 (epoch 0): turns in window 1 (3600..) + watermark driver
+    f1 = [_turn("conv-x", 100 + i, 3600 + i) for i in range(5)]
+    # file 2 (epoch 1): turns in window 0 — EARLIER event time, still above
+    # the watermark (wm after epoch 0 ≈ 3604+3s−1h < 0 → nothing late)
+    f2 = [_turn("conv-x", i, 10 + i) for i in range(5)]
+    # duplicates of epoch-0 rows in epoch 1 (same window 1)
+    f2 += [_turn("conv-x", 100 + i, 3600 + i) for i in range(3)]
+    # final watermark push to flush everything
+    f3 = [_turn("conv-wm", i, 30000 + i) for i in range(2)]
+    for i, rows in enumerate((f1, f2, f3)):
+        pdf = pd.DataFrame(rows)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        spark.createDataFrame(pdf, schema=TURNS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+    q = start_stream_ingestion(
+        spark, inp, out, ckpt,
+        StreamOptions(batch_size=100, watermark="30 minutes",
+                      max_files_per_trigger=1),
+    )
+    q.awaitTermination(240)
+    pk = spark.read.parquet(f"{out}/packets").filter("conv_id='conv-x'").toPandas()
+    pha = pk[pk["destination"] == "pha"].sort_values("turn_idx")
+    # every turn exactly once
+    assert sorted(pha["turn_idx"]) == [0, 1, 2, 3, 4, 100, 101, 102, 103, 104]
+    # two windows, distinct batch ids, no ordinal collision
+    assert pha["window_start_s"].nunique() == 2
+    assert pha.groupby("batch_id")["window_start_s"].nunique().max() == 1
+    dups = pk.groupby(["conv_id", "turn_idx", "destination"]).size()
+    assert (dups == 1).all()
+
+
+@pytest.mark.slow
+def test_session_bridge_merge_across_epochs(spark, tmp_path):
+    """A late bridging row must MERGE two already-open sessions (union dedup
+    sets + buffers, single surviving batch id space)."""
+    import pandas as pd
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # epoch 0: session A (t=0..40) and session B (t=3000..3020), gap=1800 s
+    # keeps them separate (3000 − 40 > 1800)
+    f1 = [_turn("conv-m", i, i * 10) for i in range(5)]
+    f1 += [_turn("conv-m", 50 + i, 3000 + i * 10) for i in range(3)]
+    # epoch 1: bridge row at t=1500 — extends A (1500 < 40+1800), and the
+    # extended A now overlaps B (3000 < 1500+1800) → one merged session
+    f2 = [_turn("conv-m", 25, 1500)]
+    # epoch 2: watermark push
+    f3 = [_turn("conv-wm", i, 40000 + i) for i in range(2)]
+    for rows in (f1, f2, f3):
+        pdf = pd.DataFrame(rows)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        spark.createDataFrame(pdf, schema=TURNS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+    q = start_stream_ingestion(
+        spark, inp, out, ckpt,
+        StreamOptions(batch_size=100, mode="session", session_gap_s=1800,
+                      watermark="10 minutes", max_files_per_trigger=1),
+    )
+    q.awaitTermination(240)
+    pk = spark.read.parquet(f"{out}/packets").filter("conv_id='conv-m'").toPandas()
+    pha = pk[pk["destination"] == "pha"]
+    # ONE merged session: single batch id, all 9 turns present exactly once
+    assert pha["batch_id"].nunique() == 1
+    assert sorted(pha["turn_idx"]) == [0, 1, 2, 3, 4, 25, 50, 51, 52]
+    assert pha["window_start_s"].nunique() == 1
