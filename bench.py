@@ -68,6 +68,11 @@ def main():
         "minhash_lsh_pairs",
         "simhash_docs",
         "ngram_jaccard_pairs",
+        "near_dup_components",
+        "revenue_by_nation",
+        "top_spenders_per_type",
+        "distinct_users_hourly",
+        "cosine_near_dup_pairs",
         "ivf_topk",
         "lsh_ann_topk",
         "multimodal_features",

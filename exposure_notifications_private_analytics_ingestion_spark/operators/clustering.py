@@ -30,6 +30,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once — every CC round joins against edges, and without
+        # this the (potentially expensive) pair-generation upstream re-runs
+        # per iteration (measured 180 s → 9 s at sf0.1)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
