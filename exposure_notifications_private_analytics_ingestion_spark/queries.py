@@ -312,6 +312,40 @@ WHERE epoch_us(ts) // 1000 < {(JAN + 10 * 86400) * 1000}
 """
 
 
+def q_batch_size_distribution(spark, sf_dir):
+    """M2 Distribution analog (Beam Metrics.distribution 'dataSharesInBatch',
+    pipeline/BatchWriterFn.java:65-78): min/median/p95/max/mean of batch
+    sizes across the whole run, as data not side-channel metrics."""
+    turns = _events_as_turns(spark, sf_dir)
+    sizes = assign_batches(turns, BATCH, JAN).groupBy(
+        "conv_id", "batch_ordinal"
+    ).agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.min("n").alias("min_size"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_size"),
+        F.round(F.expr("percentile(n, 0.95)"), 6).alias("p95_size"),
+        F.max("n").alias("max_size"),
+        F.round(F.avg("n"), 6).alias("mean_size"),
+        F.count("*").alias("n_batches"),
+    )
+
+
+SQL_BATCH_DIST = f"""
+WITH r AS (
+  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events),
+s AS (SELECT user_id, (rn - 1) // {BATCH} AS batch_ordinal, count(*) AS n
+      FROM r GROUP BY 1, 2)
+SELECT min(n) AS min_size,
+       round(quantile_cont(n, 0.5), 6) AS p50_size,
+       round(quantile_cont(n, 0.95), 6) AS p95_size,
+       max(n) AS max_size,
+       round(avg(n), 6) AS mean_size,
+       count(*) AS n_batches
+FROM s
+"""
+
+
 def q_metrics_rollup(spark, sf_dir):
     """M2 analog: counter rollup (per-class + grand total in one pass)."""
     ev = _read(spark, sf_dir, "events")
@@ -731,6 +765,7 @@ def registry() -> dict[str, tuple]:
         "batch_headers": (q_batch_headers, SQL_BATCH_HEADERS),
         "deletion_retention": (q_deletion_retention, SQL_DELETION),
         "metrics_rollup": (q_metrics_rollup, SQL_ROLLUP),
+        "batch_size_distribution": (q_batch_size_distribution, SQL_BATCH_DIST),
         "hot_key_salted_agg": (q_hot_key_salted_agg, SQL_SALTED),
         "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_Q1),
         "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),

@@ -123,3 +123,47 @@ def test_header_digest_matches_recomputation(spark, tmp_path):
     joined = hd.join(recomputed, ["batch_id", "destination"]).toPandas()
     assert len(joined) == hd.count()
     assert (joined["packet_file_digest"] == joined["recomputed"]).all()
+
+
+def test_payload_variant_end_to_end(spark):
+    """Nested-document input (turns_with_payload) through the full core:
+    validate → fused dedup/window/chunk (xxhash64 over struct+array columns)
+    → fork routing from the real encrypted shares."""
+    import base64
+
+    import pandas as pd
+
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        TURNS_WITH_PAYLOAD_SCHEMA,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+        process_turns,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns_with_payload,
+        invalid_fixture_rows,
+    )
+
+    good = generate_turns_with_payload(n_convs=6, seed=3)
+    bad = invalid_fixture_rows()
+    pdf = pd.concat([good, bad], ignore_index=True)
+    df = spark.createDataFrame(pdf, schema=TURNS_WITH_PAYLOAD_SCHEMA)
+    from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+        IngestionOptions,
+    )
+
+    opts = IngestionOptions(window_start_s=JAN, duration_s=12 * 3600, batch_size=20)
+    packets, headers, counters = process_turns(df, opts)
+    pk = packets.toPandas()
+    # invalid rows all dropped with the right counters; valid rows ×2 forks
+    cts = {r["invalid_reason"]: r["n"] for r in counters.collect()}
+    assert sum(cts.values()) == len(bad)
+    n_good_in_window = len(good)  # generator keeps all rows inside 12 h
+    assert len(pk) == 2 * n_good_in_window
+    # payloads come from the per-fork encrypted share, not the turn text
+    row = good.iloc[0]
+    uuid = f"{row['conv_id']}#{row['turn_idx']}"
+    mine = pk[pk["uuid"] == uuid].set_index("destination")
+    assert bytes(mine.loc["pha", "encrypted_payload"]) == base64.b64decode(
+        row["encrypted_shares"][0]["payload"]
+    )
