@@ -121,7 +121,13 @@ def main():
         stream_s = time.time() - t0
         timings["streaming_ingest"] = round(stream_s, 3)
         turns_per_sec = round(n_turns / stream_s, 1)
+        p95 = ml.batch_close_p95_ms()
     finally:
+        # The Python listener must be deregistered before the JVM shuts down,
+        # otherwise AsyncEventQueue calls back into a closed py4j gateway at
+        # teardown and sprays a stack trace over stdout/stderr (corrupting the
+        # driver's JSON parse of our output line).
+        spark.streams.removeListener(ml)
         shutil.rmtree(tmp, ignore_errors=True)
 
     out = {
@@ -133,11 +139,17 @@ def main():
         "extra": {
             "streaming_turns_per_sec": turns_per_sec,
             "streaming_n_turns": n_turns,
-            "batch_close_p95_ms": ml.batch_close_p95_ms(),
+            "batch_close_p95_ms": p95,
             "cpus": CPUS,
         },
     }
+    # Stop the JVM cleanly BEFORE printing so no late log line can land after
+    # (or interleave with) the one JSON line the driver parses.
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
     print(json.dumps(out))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -44,6 +44,13 @@ MONTH = 31 * 24 * 3600
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # Session-robustness: the registry must produce identical results under a
+    # vanilla SparkSession (the driver harness does not use our session
+    # factory).  Spark 4 infers parquet timestamps as TIMESTAMP_NTZ by
+    # default, which breaks unix_micros()/window(); both confs below are
+    # runtime-settable, so pin them on every read.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

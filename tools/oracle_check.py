@@ -39,10 +39,18 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from exposure_notifications_private_analytics_ingestion_spark.queries import registry
-    from exposure_notifications_private_analytics_ingestion_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(cores=16)
+    from exposure_notifications_private_analytics_ingestion_spark.queries import registry
+
+    # Deliberately a VANILLA session (not our session factory): the driver's
+    # harness builds one too, so session-dependent behavior must surface here.
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
