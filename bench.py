@@ -69,6 +69,7 @@ def main():
         "simhash_docs",
         "ngram_jaccard_pairs",
         "near_dup_components",
+        "near_dup_verified_components",
         "revenue_by_nation",
         "top_spenders_per_type",
         "distinct_users_hourly",

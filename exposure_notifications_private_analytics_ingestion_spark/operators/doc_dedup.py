@@ -141,25 +141,52 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text: str = "text",
     id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for all pairs above ``threshold``.
+    """Exact n-gram Jaccard for pairs above ``threshold``.
 
-    shingle self-join → per-pair intersection count → |A∪B| from per-doc
-    sizes. Run on LSH candidates at scale."""
+    Without ``candidates``: shingle self-join over ALL pairs sharing a
+    shingle — quadratic worst case, small inputs / verification only.
+
+    With ``candidates`` (columns doc_a < doc_b, e.g. from
+    ``minhash_lsh_pairs``): intersection counts are computed ONLY for those
+    pairs — cost O(|candidates| · avg_shingles), never all-pairs. This is
+    the 100 TB path; shingle computation is also pruned (semi-join) to docs
+    that appear in some candidate pair."""
     sh = shingles_df(df, n, text, id_col)
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b")
+        ids = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .union(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if candidates is not None:
+        inter = (
+            cand.join(sh.alias("a"), F.col("doc_a") == F.col(f"a.{id_col}"))
+            .join(
+                sh.alias("b"),
+                (F.col("doc_b") == F.col(f"b.{id_col}"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_inter"))
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -173,4 +200,24 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_verified_pairs(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The blessed scale path, end to end: MinHash+LSH candidate generation
+    → exact n-gram Jaccard verification ON THE CANDIDATES ONLY. No stage is
+    all-pairs; the only quadratic term is Σ per-bucket collisions, bounded by
+    the band width. Feed the result to ``clustering.connected_components``
+    for component ids / representatives."""
+    cands = minhash_lsh_pairs(df, k=k, bands=bands, n=n, text=text, id_col=id_col)
+    return ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, text=text, id_col=id_col, candidates=cands
     )

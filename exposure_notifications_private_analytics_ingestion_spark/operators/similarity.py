@@ -136,20 +136,37 @@ def ivf_topk(
     )
 
 
-def lsh_bucket(vec_col: Column, dims: int, planes: int = 16) -> Column:
-    """Random-hyperplane sign bucket. Plane weights are deterministic
-    pseudo-randoms: hexdigit(md5('p{p}d{d}')) - 7.5, identical everywhere."""
-    hexchars = "0123456789abcdef"
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        acc = F.lit(0.0)
-        for d in range(dims):
-            import hashlib
+def plane_weights(dims: int, planes: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane weights, shared with the SQL
+    oracle. Per (plane, dim): 2·hexdigit(md5('p{p}d{d}')[0]) − 15, an odd
+    integer in [-15, 15] (the doubling keeps the math in exact integers —
+    sign(Σ qv·2w) == sign(Σ qv·w))."""
+    import hashlib
 
-            digit = hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[0]
-            wgt = hexchars.index(digit) - 7.5
-            acc = acc + F.element_at(vec_col, d + 1).cast("double") * F.lit(wgt)
-        bucket = bucket + F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    hexchars = "0123456789abcdef"
+    return [
+        [
+            2 * hexchars.index(hashlib.md5(f"p{p}d{d}".encode()).hexdigest()[0]) - 15
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucket(vec_col: Column, dims: int, planes: int = 16) -> Column:
+    """Random-hyperplane sign bucket over the QUANTIZED vector: one
+    aggregate(zip_with(qv, weights)) per plane (compact expression tree, all
+    exact integer math — bit-identical across engines)."""
+    qv = quantize(vec_col)
+    bucket = F.lit(0).cast("long")
+    for p, ws in enumerate(plane_weights(dims, planes)):
+        warr = F.array(*[F.lit(w).cast("long") for w in ws])
+        dot = F.aggregate(
+            F.zip_with(qv, warr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 

@@ -654,6 +654,58 @@ def q_near_dup_components(spark, sf_dir):
     )
 
 
+def q_near_dup_verified_components(spark, sf_dir):
+    """The blessed 100 TB dedup pipeline in one query: MinHash+LSH candidates
+    → exact jaccard verify ON CANDIDATES ONLY → connected components. No
+    stage is all-pairs (physical plan: band-bucket join + candidate-keyed
+    joins; see PLANS.md)."""
+    from .operators.clustering import connected_components
+    from .operators.doc_dedup import near_dup_verified_pairs
+
+    pairs = near_dup_verified_pairs(
+        _read(spark, sf_dir, "documents"), k=4, bands=4, n=3, threshold=0.05
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_NEAR_DUP_VERIFIED_CC = """
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      FROM d WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+               min(md5(sh || '#0')) AS m0, min(md5(sh || '#1')) AS m1,
+               min(md5(sh || '#2')) AS m2, min(md5(sh || '#3')) AS m3
+        FROM s GROUP BY 1),
+b AS (SELECT doc_id, i AS band_idx, md5([m0, m1, m2, m3][i + 1]) AS bh
+      FROM sig, unnest([0, 1, 2, 3]) t(i)),
+cand AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         FROM b a JOIN b b2
+           ON a.band_idx = b2.band_idx AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+         GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+i AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+      FROM cand c
+      JOIN s sa ON c.doc_a = sa.doc_id
+      JOIN s sb ON c.doc_b = sb.doc_id AND sa.sh = sb.sh
+      GROUP BY 1, 2),
+p AS (SELECT doc_a, doc_b FROM i
+      JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      WHERE round(ni / (x.n + y.n - ni), 6) >= 0.05),
+e AS (SELECT doc_a AS s, doc_b AS t FROM p UNION SELECT doc_b, doc_a FROM p),
+reach(s, t) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+)
+SELECT s AS doc_id, least(s, min(t)) AS component FROM reach GROUP BY s
+"""
+
+
 SQL_NEAR_DUP_CC = """
 WITH RECURSIVE
 d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -736,8 +788,35 @@ SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    # rows-only check: the hyperplane literals live Python-side
     return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), k=3, dims=64, planes=8)
+
+
+def _lsh_bucket_sql(dims: int = 64, planes: int = 8) -> str:
+    """Same sign-bucket as operators.similarity.lsh_bucket, as a DuckDB
+    expression over qv: weights are the identical md5-derived odd integers,
+    injected as list literals (exact integer math in both engines)."""
+    from .operators.similarity import plane_weights
+
+    terms = []
+    for p, ws in enumerate(plane_weights(dims, planes)):
+        lit = "[" + ", ".join(str(w) for w in ws) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dims + 1}), "
+            f"i -> qv[i] * ({lit})[i]))::BIGINT > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+SQL_LSH_ANN_TOPK = f"""
+{_Q_PREP_SQL},
+bkt AS (SELECT vec_id, qv, qn, ({_lsh_bucket_sql(64, 8)})::BIGINT AS bucket FROM n),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_PAIR_SIM_SQL} AS cosine
+      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM p)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -787,10 +866,14 @@ def registry() -> dict[str, tuple]:
         "simhash_docs": (q_simhash, _sql_simhash()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
         "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_CC),
+        "near_dup_verified_components": (
+            q_near_dup_verified_components,
+            SQL_NEAR_DUP_VERIFIED_CC,
+        ),
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "cosine_near_dup_pairs": (q_cosine_near_dup, SQL_COSINE_PAIRS),
         "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-        "lsh_ann_topk": (q_lsh_ann_topk, None),
+        "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     }
 
