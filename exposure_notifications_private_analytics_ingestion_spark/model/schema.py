@@ -68,6 +68,8 @@ INVALID_REASONS = [
     "missing_cert_chain",
     "missing_prime",
     "wrong_prime",
+    "missing_epsilon",
+    "missing_encryption_key_id",
     "invalid_bins",
     "wrong_number_servers",
     "invalid_schema_version",

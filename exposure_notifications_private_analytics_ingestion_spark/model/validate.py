@@ -61,6 +61,7 @@ def invalid_reason_col() -> Column:
         .when(F.col("prio_params").isNull(), F.lit("missing_prio_params"))
         .when(F.col("prio_params.prime").isNull(), F.lit("missing_prime"))
         .when(F.col("prio_params.prime") != PRIME, F.lit("wrong_prime"))
+        .when(F.col("prio_params.epsilon").isNull(), F.lit("missing_epsilon"))
         .when(
             F.col("prio_params.bins").isNull() | (F.col("prio_params.bins") < 0),
             F.lit("invalid_bins"),
@@ -74,6 +75,14 @@ def invalid_reason_col() -> Column:
             F.col("encrypted_shares").isNull()
             | (F.size("encrypted_shares") != F.col("prio_params.number_servers")),
             F.lit("share_count_mismatch"),
+        )
+        .when(
+            ~F.forall(
+                "encrypted_shares",
+                lambda s: s["encryption_key_id"].isNotNull()
+                & (F.length(s["encryption_key_id"]) > 0),
+            ),
+            F.lit("missing_encryption_key_id"),
         )
         .when(
             ~F.forall("encrypted_shares", lambda s: _is_b64(s["payload"])),
@@ -149,5 +158,11 @@ def _rpit_udf(uuid: pd.Series, bins: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
-def with_rpit(df: DataFrame, uuid_col: str = "uuid", bins_col: str = "bins") -> DataFrame:
-    return df.withColumn("r_pit", _rpit_udf(F.col(uuid_col), F.col(bins_col)))
+def with_rpit(
+    df: DataFrame,
+    uuid_col: str | Column = "uuid",
+    bins_col: str | Column = "bins",
+) -> DataFrame:
+    uuid = F.col(uuid_col) if isinstance(uuid_col, str) else uuid_col
+    bins = F.col(bins_col) if isinstance(bins_col, str) else bins_col
+    return df.withColumn("r_pit", _rpit_udf(uuid, bins))

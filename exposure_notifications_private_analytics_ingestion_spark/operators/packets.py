@@ -58,4 +58,14 @@ def split_packets(df: DataFrame, payload_col: str = "encrypted_shares") -> DataF
         F.col("turn_idx"),
         F.col("ts"),
     ]
+    if "prio_params" in df.columns:
+        # carry the batch's Prio metadata to the header stage — the reference
+        # derives header fields from DataShareMetadata, never from constants
+        # (pipeline/BatchWriterFn.java:152-176)
+        cols += [
+            F.col("prio_params.bins").cast("int").alias("bins"),
+            F.col("prio_params.epsilon").cast("double").alias("epsilon"),
+            F.col("prio_params.hamming_weight").cast("int").alias("hamming_weight"),
+            F.col("prio_params.prime").cast("long").alias("prime"),
+        ]
     return exploded.select(*cols)

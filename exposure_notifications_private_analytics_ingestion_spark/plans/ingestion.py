@@ -77,6 +77,19 @@ def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, Dat
 
     stage = get_attestation(opts.attestation)
 
+    # K1 — the reference keys batches by the FULL stringified
+    # DataShareMetadata (IngestionPipeline.java:78-88), so documents with
+    # different prio_params never share a batch; mirror that by extending the
+    # batching key with the prio fields in the payload variant.
+    key_cols = list(opts.key_cols)
+    if has_payload:
+        key_cols += [
+            "prio_params.bins",
+            "prio_params.epsilon",
+            "prio_params.hamming_weight",
+            "prio_params.prime",
+        ]
+
     if opts.scalable_chunking:
         # hot-key path: no per-key sort; dedup → window → hash-routed chunks
         deduped = dedup_turns_deterministic(valid)
@@ -84,7 +97,7 @@ def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, Dat
         if stage is not None:
             windowed = stage(windowed)
         batched = assign_batches_scalable(
-            windowed, opts.batch_size, opts.window_start_s, key_cols=opts.key_cols
+            windowed, opts.batch_size, opts.window_start_s, key_cols=key_cols
         )
     elif stage is not None:
         # attestation must sit between window filter and chunking (reference
@@ -92,7 +105,7 @@ def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, Dat
         deduped = dedup_turns_deterministic(valid)
         windowed = stage(window_filter(deduped, opts.window_start_s, opts.duration_s))
         batched = assign_batches(
-            windowed, opts.batch_size, opts.window_start_s, key_cols=opts.key_cols
+            windowed, opts.batch_size, opts.window_start_s, key_cols=key_cols
         )
     else:
         # fused D1+F1+G1: one exchange, one sort (see dedup_window_chunk);
@@ -103,8 +116,18 @@ def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, Dat
             opts.batch_size,
             opts.window_start_s,
             opts.duration_s,
-            key_cols=opts.key_cols,
+            key_cols=key_cols,
         )
+    if has_payload:
+        # V2 — rPit generated once per valid share BEFORE the fork, so both
+        # destinations carry the same value (DataShare.java:190-205; the
+        # fork-consistency contract of IngestionPipelineIT.java:601-630).
+        # Deterministic (md5-of-uuid rejection sampling) rather than
+        # SecureRandom, so re-runs are idempotent.
+        from ..model.validate import with_rpit
+        from ..operators.packets import turn_uuid
+
+        batched = with_rpit(batched, turn_uuid(), F.col("prio_params.bins"))
     packets = split_packets(batched)
     headers = build_headers(packets, opts)
     return packets, headers, counters
@@ -122,6 +145,10 @@ def build_headers(packets: DataFrame, opts: IngestionOptions) -> DataFrame:
     own memory rationale, ``BatchWriterFn.java:120``).
     """
     name_col = F.col("conv_id")
+    has_prio = "bins" in packets.columns
+    prio_select = (
+        ["bins", "epsilon", "hamming_weight", "prime"] if has_prio else []
+    )
     per_packet = packets.select(
         "batch_id",
         "destination",
@@ -129,15 +156,27 @@ def build_headers(packets: DataFrame, opts: IngestionOptions) -> DataFrame:
         "uuid",
         F.hex(F.col("encrypted_payload")).alias("payload_hex"),
         "ts",
+        *prio_select,
     )
     window_start = F.lit(opts.window_start_s).cast("long")
     window_end = F.lit(opts.window_start_s + opts.duration_s).cast("long")
     ts_path = F.from_unixtime(window_start, "yyyy/MM/dd/HH/mm")
+    prio_aggs = (
+        [
+            F.first("bins").alias("_bins"),
+            F.first("epsilon").alias("_epsilon"),
+            F.first("hamming_weight").alias("_hamming_weight"),
+            F.first("prime").alias("_prime"),
+        ]
+        if has_prio
+        else []
+    )
     agg = (
         per_packet.groupBy("batch_id", "destination")
         .agg(
             F.first("name").alias("name"),
             F.count("*").alias("n_packets"),
+            *prio_aggs,
             F.sha2(
                 F.concat_ws(
                     "",
@@ -157,10 +196,15 @@ def build_headers(packets: DataFrame, opts: IngestionOptions) -> DataFrame:
             window_start.alias("batch_start_time"),
             window_end.alias("batch_end_time"),
             F.lit(NUMBER_OF_SERVERS).alias("number_of_servers"),
-            F.lit(2).alias("bins"),
-            F.lit(1).alias("hamming_weight"),
-            F.lit(PRIME).alias("prime"),
-            F.lit(5.2933).alias("epsilon"),
+            # header metadata reflects the batch's own prio_params when the
+            # input carries them (BatchWriterFn.java:152-176); the literals
+            # are the plain-transcript defaults (ENPA deployment values)
+            (F.col("_bins") if has_prio else F.lit(2)).alias("bins"),
+            (F.col("_hamming_weight") if has_prio else F.lit(1)).alias(
+                "hamming_weight"
+            ),
+            (F.col("_prime") if has_prio else F.lit(PRIME)).alias("prime"),
+            (F.col("_epsilon") if has_prio else F.lit(5.2933)).alias("epsilon"),
             "packet_file_digest",
             F.concat_ws(
                 "/", F.col("destination"), F.col("name"), ts_path, F.col("batch_id")

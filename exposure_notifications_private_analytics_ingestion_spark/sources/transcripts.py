@@ -124,7 +124,7 @@ def generate_turns_with_payload(n_convs: int = 50, seed: int = 7, **kw) -> pd.Da
 
 def invalid_fixture_rows() -> pd.DataFrame:
     """One row per failure class (FIXTURES.md §2a / model/DataShareTest.java:87-477)."""
-    base = generate_turns_with_payload(n_convs=1, seed=1).iloc[:13].reset_index(drop=True)
+    base = generate_turns_with_payload(n_convs=3, seed=1).iloc[:15].reset_index(drop=True)
     base["conv_id"] = [f"bad-{i:02d}" for i in range(len(base))]
 
     def null(i, col):
@@ -150,6 +150,11 @@ def invalid_fixture_rows() -> pd.DataFrame:
     ]
     null(11, "signature")  # missing_signature
     base.at[12, "cert_chain"] = []  # missing_cert_chain
+    base.at[13, "prio_params"] = {**base.at[13, "prio_params"], "epsilon": None}
+    base.at[14, "encrypted_shares"] = [  # missing_encryption_key_id
+        {"encryption_key_id": None, "payload": _b64("x|pha")},
+        {"encryption_key_id": "k2", "payload": _b64("x|fac")},
+    ]
     return base
 
 

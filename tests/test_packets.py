@@ -167,3 +167,61 @@ def test_payload_variant_end_to_end(spark):
     assert bytes(mine.loc["pha", "encrypted_payload"]) == base64.b64decode(
         row["encrypted_shares"][0]["payload"]
     )
+
+
+def test_rpit_fork_consistent_and_nontrivial(spark):
+    """IngestionPipelineIT.java:601-630: both destinations carry the SAME
+    non-null r_pit per share; values lie in [1, PRIME) and are not n-th roots
+    of unity; deterministic across reruns (our strengthening)."""
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        PRIME,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+        process_turns,
+    )
+
+    pdf = generate_turns_with_payload(n_convs=5, seed=11)
+    df = spark.createDataFrame(pdf, schema=TURNS_WITH_PAYLOAD_SCHEMA)
+    opts = IngestionOptions(window_start_s=JAN, duration_s=12 * 3600, batch_size=20)
+    pk1 = process_turns(df, opts)[0].toPandas()
+    assert pk1["r_pit"].notna().all()
+    assert ((pk1["r_pit"] >= 1) & (pk1["r_pit"] < PRIME)).all()
+    # fork-equal: exactly one distinct r_pit per uuid across both destinations
+    assert (pk1.groupby("uuid")["r_pit"].nunique() == 1).all()
+    # n = nextPow2(bins+1) = 4 for bins=2: r_pit^4 mod PRIME != 1
+    for v in pk1["r_pit"].head(50):
+        assert pow(int(v), 4, PRIME) != 1
+    # deterministic under replay
+    pk2 = process_turns(df, opts)[0].toPandas()
+    a = pk1.sort_values(["uuid", "destination"])["r_pit"].reset_index(drop=True)
+    b = pk2.sort_values(["uuid", "destination"])["r_pit"].reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_headers_reflect_input_prio_params(spark):
+    """ADVICE r1: header metadata must derive from the batch's own
+    prio_params, and distinct prio_params must never co-batch
+    (IngestionPipeline.java:78-88 keys by full DataShareMetadata)."""
+    from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+        process_turns,
+    )
+
+    pdf = generate_turns_with_payload(n_convs=4, seed=21)
+    # half the conversations use a different epsilon + bins
+    alt = {"prime": 4293918721, "epsilon": 8.0, "bins": 4, "number_servers": 2,
+           "hamming_weight": 2}
+    convs = sorted(pdf["conv_id"].unique())
+    mask = pdf["conv_id"].isin(convs[:2])
+    pdf.loc[mask, "prio_params"] = pd.Series([alt] * int(mask.sum()), index=pdf.index[mask])
+    df = spark.createDataFrame(pdf, schema=TURNS_WITH_PAYLOAD_SCHEMA)
+    opts = IngestionOptions(window_start_s=JAN, duration_s=12 * 3600, batch_size=1000)
+    packets, headers, _ = process_turns(df, opts)
+    hd = headers.toPandas()
+    # every header's (bins, epsilon, hamming_weight) matches its batch's data
+    assert set(map(tuple, hd[["bins", "epsilon", "hamming_weight"]].values)) == {
+        (4, 8.0, 2),
+        (2, 5.2933, 1),
+    }
+    # no batch mixes prio params: packets of one batch_id share one bins value
+    pk = packets.toPandas()
+    assert (pk.groupby("batch_id")["bins"].nunique() == 1).all()

@@ -36,6 +36,8 @@ EXPECTED = [
     ("bad-10", "invalid_base64_payload"),
     ("bad-11", "missing_signature"),
     ("bad-12", "missing_cert_chain"),
+    ("bad-13", "missing_epsilon"),
+    ("bad-14", "missing_encryption_key_id"),
 ]
 
 
