@@ -11,8 +11,13 @@ Two paths:
   PrioDataSharePacket record shape (Avro 1.x binary encoding spec:
   zigzag-varint longs, length-prefixed bytes/strings, union index prefix for
   nullables), run as an Arrow-batched pandas UDF. This keeps the Avro wire
-  format testable in the jar-less sandbox; the object-container framing
-  (magic/schema/sync) is a thin wrapper left to the jar path.
+  format testable in the jar-less sandbox.
+- object-container framing (``write_container`` / ``read_container``): the
+  standard Avro file layout — magic ``Obj\\x01``, metadata map carrying
+  avro.schema + avro.codec, 16-byte sync marker, then blocks of
+  (count, size, records, sync) — so output files are readable by any Avro
+  tooling, matching ``PrioSerializationHelper.java:53-88`` whose container
+  files prio-server consumes directly.
 
 Record shape (PrioSerializationHelper.java:106-121):
   uuid: string, encryption_key_id: union[null,string], r_pit: long,
@@ -104,7 +109,12 @@ def encode_packet(
 
 
 def decode_packet(raw: bytes) -> dict:
-    buf = io.BytesIO(raw)
+    return decode_packet_stream(io.BytesIO(raw))
+
+
+def decode_packet_stream(buf: io.BytesIO) -> dict:
+    """Decode one record from the current stream position (self-delimiting
+    field walk — used by the container reader to consume block bodies)."""
 
     def rstr():
         return buf.read(_rv(buf)).decode()
@@ -140,19 +150,34 @@ PACKET_FIELDS = [
 ]
 
 
+_JVM_AVRO_AVAILABLE: bool | None = None
+
+
+def _jvm_avro_available(spark) -> bool:
+    """Probe the spark-avro classpath ONCE, on a 1-row literal frame — never
+    by executing the caller's (potentially expensive) upstream plan."""
+    global _JVM_AVRO_AVAILABLE
+    if _JVM_AVRO_AVAILABLE is None:
+        try:
+            from pyspark.sql.avro.functions import to_avro
+
+            probe = spark.range(1).select(to_avro(F.struct(F.lit("x").alias("s"))))
+            probe.collect()
+            _JVM_AVRO_AVAILABLE = True
+        except Exception:
+            _JVM_AVRO_AVAILABLE = False
+    return _JVM_AVRO_AVAILABLE
+
+
 def serialize_packets(df: DataFrame) -> DataFrame:
     """packets → (batch_id, destination, uuid, avro binary). Uses the
     built-in to_avro when the jar is present, else the pandas codec."""
-    try:
+    if _jvm_avro_available(df.sparkSession):
         from pyspark.sql.avro.functions import to_avro
 
-        out = df.withColumn(
+        return df.withColumn(
             "avro", to_avro(F.struct(*PACKET_FIELDS), PACKET_AVRO_SCHEMA_JSON)
         )
-        out.limit(1).collect()  # probe the classpath eagerly
-        return out
-    except Exception:
-        pass
 
     @F.pandas_udf(T.BinaryType())
     def enc(
@@ -178,3 +203,160 @@ def serialize_packets(df: DataFrame) -> DataFrame:
         )
 
     return df.withColumn("avro", enc(*[F.col(c) for c in PACKET_FIELDS]))
+
+
+# --- object-container framing (Avro spec "Object Container Files";
+#     PrioSerializationHelper.java:53-88 writes this layout via
+#     DataFileWriter) ---
+
+MAGIC = b"Obj\x01"
+
+
+def _w_str(buf: io.BytesIO, s: str) -> None:
+    b = s.encode()
+    _wv(buf, len(b))
+    buf.write(b)
+
+
+def container_sync_marker(seed: str) -> bytes:
+    """Deterministic 16-byte sync marker (md5 of a per-batch seed) — unlike
+    DataFileWriter's random marker, re-writing the same batch produces
+    byte-identical files (idempotent sinks)."""
+    import hashlib
+
+    return hashlib.md5(f"enpa-sync|{seed}".encode()).digest()
+
+
+def write_container(
+    records: list[bytes],
+    schema_json: str = PACKET_AVRO_SCHEMA_JSON,
+    sync: bytes | None = None,
+    records_per_block: int = 4096,
+) -> bytes:
+    """Frame pre-encoded Avro binary records as a standard object-container
+    file (magic, metadata map {avro.schema, avro.codec=null}, sync, blocks)."""
+    import json as _json
+
+    sync = sync or container_sync_marker("default")
+    assert len(sync) == 16
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    # file metadata: map<string, bytes> — one block of 2 entries, then end
+    _wv(buf, 2)
+    _w_str(buf, "avro.schema")
+    schema_bytes = _json.dumps(_json.loads(schema_json)).encode()
+    _wv(buf, len(schema_bytes))
+    buf.write(schema_bytes)
+    _w_str(buf, "avro.codec")
+    _wv(buf, len(b"null"))
+    buf.write(b"null")
+    _wv(buf, 0)  # end of map
+    buf.write(sync)
+    for i in range(0, len(records), records_per_block):
+        block = records[i : i + records_per_block]
+        body = b"".join(block)
+        _wv(buf, len(block))
+        _wv(buf, len(body))
+        buf.write(body)
+        buf.write(sync)
+    return buf.getvalue()
+
+
+def read_container(blob: bytes) -> tuple[dict, list[dict]]:
+    """Parse an object-container file of PrioDataSharePacket records.
+    Returns (metadata, records); verifies magic and per-block sync markers."""
+    buf = io.BytesIO(blob)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object-container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _rv(buf)
+        if n == 0:
+            break
+        if n < 0:  # negative count: abs count then byte size (spec)
+            n = -n
+            _rv(buf)
+        for _ in range(n):
+            key = buf.read(_rv(buf)).decode()
+            meta[key] = buf.read(_rv(buf))
+    sync = buf.read(16)
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise ValueError(f"unsupported avro.codec {codec!r}")
+    records: list[dict] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        count = _rv(buf)
+        size = _rv(buf)
+        body = io.BytesIO(buf.read(size))
+        for _ in range(count):
+            records.append(decode_packet_stream(body))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return {k: v for k, v in meta.items()}, records
+
+
+def write_batch_containers(packets: DataFrame, output_root: str) -> DataFrame:
+    """W1+W4 — one ``.batch.avro`` object-container file per
+    (batch_id, destination), written FROM THE EXECUTORS (one task per batch,
+    like the reference's BatchWriterFn): records sorted by uuid, deterministic
+    sync marker ⇒ byte-identical files on re-run. Returns the manifest
+    (batch_id, destination, path, n_records, file_sha256)."""
+    import hashlib
+    import os
+
+    out_schema = T.StructType(
+        [
+            T.StructField("batch_id", T.StringType()),
+            T.StructField("destination", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("file_sha256", T.StringType()),
+        ]
+    )
+
+    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        batch_id, destination = key
+        pdf = pdf.sort_values("uuid")
+        recs = [
+            encode_packet(
+                r.uuid,
+                r.encryption_key_id if pd.notna(r.encryption_key_id) else None,
+                int(r.r_pit) if pd.notna(r.r_pit) else 0,
+                r.version_configuration
+                if pd.notna(r.version_configuration)
+                else None,
+                bytes(r.device_nonce) if r.device_nonce is not None else None,
+                bytes(r.encrypted_payload) if r.encrypted_payload is not None else b"",
+            )
+            for r in pdf.itertuples()
+        ]
+        blob = write_container(
+            recs, sync=container_sync_marker(f"{batch_id}|{destination}")
+        )
+        d = os.path.join(output_root, destination)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{batch_id}.batch.avro")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic per-file commit
+        return pd.DataFrame(
+            {
+                "batch_id": [batch_id],
+                "destination": [destination],
+                "path": [path],
+                "n_records": [len(recs)],
+                "file_sha256": [hashlib.sha256(blob).hexdigest()],
+            }
+        )
+
+    cols = ["batch_id", "destination", *PACKET_FIELDS]
+    return (
+        packets.select(*cols)
+        .groupBy("batch_id", "destination")
+        .applyInPandas(_write, schema=out_schema)
+    )

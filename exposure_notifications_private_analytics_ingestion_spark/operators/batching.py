@@ -17,7 +17,8 @@ Spark shapes (no GroupIntoBatches built-in — SURVEY §2 G1):
   reference's "every batch except the last is exactly batch_size" property
   and gives a replay-stable membership.
 - scalable variant for hot keys: a per-key count (hash-agg, map-side partial)
-  broadcast back, then stateless ``pmod(xxhash64(turn_idx), n_batches)``
+  joined back (AQE picks broadcast vs skew-split SMJ at runtime), then
+  stateless ``pmod(xxhash64(turn_idx), n_batches)``
   assignment — no per-key sort, batches are *approximately* batch_size. Use
   when a single conversation exceeds what one task should sort (the 10^12-turn
   hot-key case); membership is still deterministic.
@@ -126,7 +127,11 @@ def assign_batches_scalable(
     counts = df.groupBy(*key_cols).agg(
         F.ceil(F.count("*") / batch_size).cast("int").alias("_n_batches")
     )
-    out = df.join(F.broadcast(counts), key_cols).withColumn(
+    # No broadcast hint: `counts` has one row PER DISTINCT KEY, which is
+    # unbounded (a forced broadcast OOMs the driver at 10^9+ conversations).
+    # AQE broadcasts it at runtime when it is actually small, and its
+    # skew-join splitting handles the hot key on the SMJ path otherwise.
+    out = df.join(counts, key_cols).withColumn(
         "batch_ordinal",
         F.pmod(F.xxhash64(F.col(salt_col)), F.col("_n_batches")).cast("int"),
     ).drop("_n_batches")

@@ -52,6 +52,9 @@ class IngestionOptions:
     scalable_chunking: bool = False
     grace_hours_backwards: int = 1
     grace_hours_forwards: int = 1
+    # also emit one Avro object-container file per (batch, destination) —
+    # the reference's native output format (PrioSerializationHelper.java:53-88)
+    emit_avro_containers: bool = False
 
 
 def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -317,6 +320,16 @@ def run_ingestion(
         .partitionBy("window_start_s", "destination")
         .parquet(f"{output_root}/signatures")
     )
+    if opts.emit_avro_containers:
+        from ..functions.avro_codec import write_batch_containers
+
+        (
+            write_batch_containers(packets, f"{output_root}/avro")
+            .withColumn("window_start_s", F.lit(opts.window_start_s))
+            .write.mode("overwrite")
+            .partitionBy("window_start_s", "destination")
+            .parquet(f"{output_root}/avro_manifest")
+        )
     headers.unpersist()
     packets.unpersist()
     stats_rows = counters.collect()

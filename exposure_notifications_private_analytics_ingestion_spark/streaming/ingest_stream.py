@@ -128,20 +128,23 @@ def make_assembler(opts: StreamOptions):
         o_bid: list[str] = []
         o_why: list[str] = []
 
-        def close_batch(w: int, e: list, reason: str):
+        def close_batch(w: int, e: list, reason: str, limit: int | None = None):
+            """Close the buffer (or its first ``limit`` rows) as one batch —
+            post-merge buffers can exceed batch_size, so size-closes drain in
+            exact batch_size chunks."""
             if not e[3]:
                 return
-            n = len(e[3])
+            take = len(e[3]) if limit is None else min(limit, len(e[3]))
             bid = _batch_id(conv_id, w, e[0])
-            o_idx.extend(e[3])
-            o_txt.extend(e[4])
-            o_ts.extend(e[5])
-            o_win.extend([w] * n)
-            o_ord.extend([e[0]] * n)
-            o_bid.extend([bid] * n)
-            o_why.extend([reason] * n)
+            o_idx.extend(e[3][:take])
+            o_txt.extend(e[4][:take])
+            o_ts.extend(e[5][:take])
+            o_win.extend([w] * take)
+            o_ord.extend([e[0]] * take)
+            o_bid.extend([bid] * take)
+            o_why.extend([reason] * take)
             e[0] += 1
-            e[3], e[4], e[5] = [], [], []
+            e[3], e[4], e[5] = e[3][take:], e[4][take:], e[5][take:]
 
         def out_pdf() -> pd.DataFrame:
             return pd.DataFrame(
@@ -188,6 +191,8 @@ def make_assembler(opts: StreamOptions):
             for w in sorted(wins):
                 if end_ms(w, wins[w]) <= wm:
                     if flush:
+                        while len(wins[w][3]) > batch_size:
+                            close_batch(w, wins[w], "size", batch_size)
                         close_batch(w, wins[w], reason)
                     del wins[w]
             save_and_arm()
@@ -219,6 +224,7 @@ def make_assembler(opts: StreamOptions):
                     e[1] = max(e[1], ts_ms)
                     # bridge-merge: absorb any later session whose interval
                     # now overlaps ours ([start, last+gap) touching)
+                    merged = False
                     for s in sorted(k for k in wins if k > w):
                         if s * 1000 < e[1] + gap_ms:
                             o = wins.pop(s)
@@ -228,8 +234,25 @@ def make_assembler(opts: StreamOptions):
                             e[3] += o[3]
                             e[4] += o[4]
                             e[5] += o[5]
+                            merged = True
                         else:
                             break
+                    if merged:
+                        # a turn buffered in BOTH pre-merge sessions must not
+                        # survive twice: keep first occurrence per turn_idx
+                        seen_buf: set = set()
+                        b3, b4, b5 = [], [], []
+                        for ti, tx, tm in zip(e[3], e[4], e[5]):
+                            if ti in seen_buf:
+                                continue
+                            seen_buf.add(ti)
+                            b3.append(ti)
+                            b4.append(tx)
+                            b5.append(tm)
+                        e[3], e[4], e[5] = b3, b4, b5
+                        # the merged buffer can exceed batch_size: drain now
+                        while len(e[3]) >= batch_size:
+                            close_batch(w, e, "size", batch_size)
                 else:
                     w = (ts_ms // 1000) // window_s * window_s
                     e = wins.get(w)
@@ -242,8 +265,8 @@ def make_assembler(opts: StreamOptions):
                 e[3].append(turn_idx)
                 e[4].append(text)
                 e[5].append(ts_ms)
-                if len(e[3]) >= batch_size:
-                    close_batch(w, e, "size")
+                while len(e[3]) >= batch_size:
+                    close_batch(w, e, "size", batch_size)
 
         save_and_arm()
         if o_idx:

@@ -100,3 +100,102 @@ def test_manifest_load_and_merge(tmp_path):
     bad.write_text("{}")
     with pytest.raises(ValueError):
         DataProcessorManifest.load(str(bad))
+
+
+def test_container_roundtrip_pure():
+    """Object-container framing: write N records, read back identical;
+    metadata carries the schema; corrupt sync detected."""
+    import json as _json
+
+    from exposure_notifications_private_analytics_ingestion_spark.functions.avro_codec import (
+        PACKET_AVRO_SCHEMA_JSON,
+        container_sync_marker,
+        encode_packet,
+        read_container,
+        write_container,
+    )
+
+    recs = [
+        {
+            "uuid": f"conv-{i}#{i}",
+            "encryption_key_id": None,
+            "r_pit": 1000 + i,
+            "version_configuration": None,
+            "device_nonce": None,
+            "encrypted_payload": bytes([i % 256]) * (i + 1),
+        }
+        for i in range(100)
+    ]
+    raw = [
+        encode_packet(
+            r["uuid"], r["encryption_key_id"], r["r_pit"],
+            r["version_configuration"], r["device_nonce"], r["encrypted_payload"],
+        )
+        for r in recs
+    ]
+    blob = write_container(raw, sync=container_sync_marker("t"), records_per_block=32)
+    assert blob[:4] == b"Obj\x01"
+    meta, back = read_container(blob)
+    assert _json.loads(meta["avro.schema"]) == _json.loads(PACKET_AVRO_SCHEMA_JSON)
+    assert meta["avro.codec"] == b"null"
+    assert back == recs
+    # deterministic framing: same inputs -> same bytes
+    assert blob == write_container(raw, sync=container_sync_marker("t"), records_per_block=32)
+    # fastavro cross-check when available (not in this container)
+    try:
+        import fastavro  # noqa: F401
+        import io as _io
+
+        got = list(fastavro.reader(_io.BytesIO(blob)))
+        assert [g["uuid"] for g in got] == [r["uuid"] for r in recs]
+    except ImportError:
+        pass
+    # corruption detection
+    import pytest as _pytest
+
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF  # flip a sync byte
+    with _pytest.raises(ValueError, match="sync"):
+        read_container(bytes(bad))
+
+
+def test_write_batch_containers_idempotent(spark, tmp_path):
+    """Executor-side container sink: files exist per (batch, destination),
+    re-run produces byte-identical files, manifest counts match packets."""
+    import hashlib
+
+    from exposure_notifications_private_analytics_ingestion_spark.functions.avro_codec import (
+        read_container,
+        write_batch_containers,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.operators.batching import (
+        assign_batches,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.operators.packets import (
+        split_packets,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        TURNS_WITH_PAYLOAD_SCHEMA,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns_with_payload,
+    )
+
+    pdf = generate_turns_with_payload(n_convs=3, seed=4)
+    df = spark.createDataFrame(pdf, schema=TURNS_WITH_PAYLOAD_SCHEMA)
+    pk = split_packets(assign_batches(df, batch_size=10, window_start_s=1704067200))
+    man1 = write_batch_containers(pk, str(tmp_path / "avro")).toPandas()
+    assert len(man1) == pk.select("batch_id", "destination").distinct().count()
+    digests1 = {}
+    total = 0
+    for r in man1.itertuples():
+        blob = open(r.path, "rb").read()
+        assert hashlib.sha256(blob).hexdigest() == r.file_sha256
+        _meta, recs = read_container(blob)
+        assert len(recs) == r.n_records
+        total += len(recs)
+        digests1[(r.batch_id, r.destination)] = r.file_sha256
+    assert total == pk.count()
+    man2 = write_batch_containers(pk, str(tmp_path / "avro")).toPandas()
+    digests2 = {(r.batch_id, r.destination): r.file_sha256 for r in man2.itertuples()}
+    assert digests1 == digests2

@@ -270,3 +270,40 @@ def test_session_bridge_merge_across_epochs(spark, tmp_path):
     assert pha["batch_id"].nunique() == 1
     assert sorted(pha["turn_idx"]) == [0, 1, 2, 3, 4, 25, 50, 51, 52]
     assert pha["window_start_s"].nunique() == 1
+
+
+def test_bridge_merge_dedups_buffer_and_drains_size(spark, tmp_path):
+    """ADVICE r1 regression: a turn_idx buffered in BOTH pre-merge sessions
+    must appear once post-merge, and a merged buffer larger than batch_size
+    drains in exact batch_size chunks (never one oversized batch)."""
+    import pandas as pd
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # session A: turns 0-4 at t=0..40; session B: turns 50-52 at t=3000..3020
+    # plus a DUPLICATE turn_idx=4 at t=3030 (B's dedup set doesn't know A)
+    f1 = [_turn("conv-d", i, i * 10) for i in range(5)]
+    f1 += [_turn("conv-d", 50 + i, 3000 + i * 10) for i in range(3)]
+    f1 += [_turn("conv-d", 4, 3030, text="dup-of-4")]
+    # bridge row merges A and B
+    f2 = [_turn("conv-d", 25, 1500)]
+    # watermark push
+    f3 = [_turn("conv-wm", i, 40000 + i) for i in range(2)]
+    for rows in (f1, f2, f3):
+        pdf = pd.DataFrame(rows)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        spark.createDataFrame(pdf, schema=TURNS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+    q = start_stream_ingestion(
+        spark, inp, out, ckpt,
+        StreamOptions(batch_size=6, mode="session", session_gap_s=1800,
+                      watermark="10 minutes", max_files_per_trigger=1),
+    )
+    q.awaitTermination(240)
+    pk = spark.read.parquet(f"{out}/packets").filter("conv_id='conv-d'").toPandas()
+    pha = pk[pk["destination"] == "pha"].sort_values("turn_idx")
+    # duplicate eliminated: turn 4 exactly once, 9 distinct turns total
+    assert sorted(pha["turn_idx"]) == [0, 1, 2, 3, 4, 25, 50, 51, 52]
+    # batch sizes: one exact size-close (6) then the session-close remainder
+    sizes = pha.groupby("batch_id").size().sort_values(ascending=False).tolist()
+    assert sizes == [6, 3]
