@@ -303,23 +303,36 @@ def run_ingestion(
         .partitionBy("window_start_s", "destination")
         .parquet(f"{output_root}/packets")
     )
+    # empty-window hardening: a partitioned overwrite of zero rows leaves a
+    # schema-less directory (readers would raise UNABLE_TO_INFER_SCHEMA); in
+    # that case rewrite each leg unpartitioned so the parquet footer carries
+    # the full schema and read-back yields 0 rows instead of an error.
+    # take(1) is a cheap action against the already-persisted fan-out.
+    is_empty = len(packets.take(1)) == 0
+    if is_empty:
+        packets.write.mode("overwrite").parquet(f"{output_root}/packets")
     # headers/signatures derive from the CACHED fan-out (and the groupBy on
     # (batch_id, destination) is exchange-free on the batch_id partitioning)
     headers = build_headers(packets, opts).persist()
-    (
-        headers.withColumn("window_start_s", F.lit(opts.window_start_s))
-        .write.mode("overwrite")
-        .partitionBy("window_start_s", "destination")
-        .parquet(f"{output_root}/batch_headers")
+    headers_out = headers.withColumn("window_start_s", F.lit(opts.window_start_s))
+    signatures_out = build_signatures(headers).withColumn(
+        "window_start_s", F.lit(opts.window_start_s)
     )
-    # W3 — the signature leg of the reference's Avro triplet
-    (
-        build_signatures(headers)
-        .withColumn("window_start_s", F.lit(opts.window_start_s))
-        .write.mode("overwrite")
-        .partitionBy("window_start_s", "destination")
-        .parquet(f"{output_root}/signatures")
-    )
+    if is_empty:
+        headers_out.write.mode("overwrite").parquet(f"{output_root}/batch_headers")
+        signatures_out.write.mode("overwrite").parquet(f"{output_root}/signatures")
+    else:
+        (
+            headers_out.write.mode("overwrite")
+            .partitionBy("window_start_s", "destination")
+            .parquet(f"{output_root}/batch_headers")
+        )
+        # W3 — the signature leg of the reference's Avro triplet
+        (
+            signatures_out.write.mode("overwrite")
+            .partitionBy("window_start_s", "destination")
+            .parquet(f"{output_root}/signatures")
+        )
     if opts.emit_avro_containers:
         from ..functions.avro_codec import write_batch_containers
 
@@ -334,5 +347,17 @@ def run_ingestion(
     packets.unpersist()
     stats_rows = counters.collect()
     stats = {r["invalid_reason"]: r["n"] for r in stats_rows}
-    stats.update({k: str(v) for k, v in obs.get.items()})
+    try:
+        stats.update({k: str(v) for k, v in obs.get.items()})
+    except Exception:
+        # zero-task plans (everything pruned at the scan) never fire the
+        # observation; report explicit zeros instead of raising
+        stats.update(
+            {
+                "packets_written": "0",
+                "batches_approx": "0",
+                "min_ts": "None",
+                "max_ts": "None",
+            }
+        )
     return stats

@@ -225,3 +225,19 @@ def test_headers_reflect_input_prio_params(spark):
     # no batch mixes prio params: packets of one batch_id share one bins value
     pk = packets.toPandas()
     assert (pk.groupby("batch_id")["bins"].nunique() == 1).all()
+
+
+def test_run_ingestion_empty_window_readable(spark, tmp_path):
+    """All-pruned window: job succeeds, reports zero stats, and every output
+    leg reads back as an EMPTY frame with full schema (no
+    UNABLE_TO_INFER_SCHEMA)."""
+    pdf = generate_turns(n_convs=5, seed=7, hours=1)
+    write_turns_table(spark, pdf, str(tmp_path / "turns"))
+    # window in 1970: everything pruned at the scan
+    opts = IngestionOptions(window_start_s=0, duration_s=3600, batch_size=10)
+    stats = run_ingestion(spark, str(tmp_path / "turns"), str(tmp_path / "out"), opts)
+    assert stats["packets_written"] == "0"
+    for leg in ("packets", "batch_headers", "signatures"):
+        df = spark.read.parquet(str(tmp_path / "out" / leg))
+        assert df.count() == 0
+        assert len(df.columns) > 3
