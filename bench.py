@@ -74,6 +74,7 @@ def main():
         "top_spenders_per_type",
         "distinct_users_hourly",
         "cosine_near_dup_pairs",
+        "cosine_near_dup_lsh",
         "ivf_topk",
         "lsh_ann_topk",
         "multimodal_features",

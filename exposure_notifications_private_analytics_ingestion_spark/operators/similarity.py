@@ -205,3 +205,35 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    dims: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The scale path for embedding near-dup pairs: candidates restricted to
+    the same LSH sign bucket, then EXACT cosine ≥ threshold on candidates
+    only. Join keys on the bucket — collision-bounded, never all-pairs
+    (recall < 1 by construction; raise ``planes``/add rotations for recall).
+    """
+    with_bucket = df.withColumn("bucket", lsh_bucket(F.col(vec_col), dims, planes))
+    prep = _prep(with_bucket, id_col, vec_col, ["bucket"])
+    a, b = prep.alias("a"), prep.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            _pair_sim().alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

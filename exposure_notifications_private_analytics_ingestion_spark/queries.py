@@ -772,6 +772,16 @@ WHERE {_PAIR_SIM_SQL} >= 0.35
 """
 
 
+def q_cosine_near_dup_lsh(spark, sf_dir):
+    """Blessed scale path for embedding near-dups: LSH sign-bucket candidates
+    → exact cosine ≥ threshold on candidates only (never all-pairs)."""
+    from .operators.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, dims=64, planes=8
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     return ivf_topk(_read(spark, sf_dir, "embeddings"), k=3)
 
@@ -816,6 +826,15 @@ p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM p)
 SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+
+SQL_COSINE_PAIRS_LSH = f"""
+{_Q_PREP_SQL},
+bkt AS (SELECT vec_id, qv, qn, ({_lsh_bucket_sql(64, 8)})::BIGINT AS bucket FROM n)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_PAIR_SIM_SQL} AS cosine
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_PAIR_SIM_SQL} >= 0.35
 """
 
 
@@ -874,6 +893,7 @@ def registry() -> dict[str, tuple]:
         "cosine_near_dup_pairs": (q_cosine_near_dup, SQL_COSINE_PAIRS),
         "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
         "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
+        "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, SQL_COSINE_PAIRS_LSH),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
     }
 
