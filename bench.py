@@ -106,7 +106,9 @@ def main():
     spark.streams.addListener(ml)
     tmp = tempfile.mkdtemp(prefix="enpa-bench-")
     try:
-        pdf = generate_turns(n_convs=4000, seed=42, hours=4, dup_frac=0.02)
+        # large enough that steady-state throughput dominates the stream's
+        # fixed startup/microbatch overhead (~190k turns)
+        pdf = generate_turns(n_convs=16000, seed=42, hours=4, dup_frac=0.02)
         n_turns = len(pdf)
         spark.createDataFrame(pdf, schema=TURNS_SCHEMA).repartition(CPUS).write.mode(
             "overwrite"

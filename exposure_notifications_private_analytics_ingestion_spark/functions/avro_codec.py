@@ -299,12 +299,20 @@ def read_container(blob: bytes) -> tuple[dict, list[dict]]:
     return {k: v for k, v in meta.items()}, records
 
 
-def write_batch_containers(packets: DataFrame, output_root: str) -> DataFrame:
+def write_batch_containers(
+    packets: DataFrame, output_root: str, window_start_s: int | None = None
+) -> DataFrame:
     """W1+W4 — one ``.batch.avro`` object-container file per
     (batch_id, destination), written FROM THE EXECUTORS (one task per batch,
     like the reference's BatchWriterFn): records sorted by uuid, deterministic
     sync marker ⇒ byte-identical files on re-run. Returns the manifest
-    (batch_id, destination, path, n_records, file_sha256)."""
+    (batch_id, destination, path, n_records, file_sha256).
+
+    With ``window_start_s`` (and a conv_id column on ``packets``), files land
+    at the reference's deterministic layout
+    ``{dest}/{name}/YYYY/MM/dd/HH/mm/{batch_id}.batch.avro``
+    (BatchWriterFn.java:135-150, asserted IngestionPipelineIT.java:642-657);
+    otherwise flat ``{dest}/{batch_id}.batch.avro``."""
     import hashlib
     import os
 
@@ -337,7 +345,17 @@ def write_batch_containers(packets: DataFrame, output_root: str) -> DataFrame:
         blob = write_container(
             recs, sync=container_sync_marker(f"{batch_id}|{destination}")
         )
-        d = os.path.join(output_root, destination)
+        if window_start_s is not None and "conv_id" in pdf.columns:
+            from datetime import datetime, timezone
+
+            ts_path = datetime.fromtimestamp(
+                window_start_s, tz=timezone.utc
+            ).strftime("%Y/%m/%d/%H/%M")
+            d = os.path.join(
+                output_root, destination, str(pdf["conv_id"].iloc[0]), ts_path
+            )
+        else:
+            d = os.path.join(output_root, destination)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{batch_id}.batch.avro")
         tmp = path + ".tmp"
@@ -355,6 +373,8 @@ def write_batch_containers(packets: DataFrame, output_root: str) -> DataFrame:
         )
 
     cols = ["batch_id", "destination", *PACKET_FIELDS]
+    if window_start_s is not None and "conv_id" in packets.columns:
+        cols.append("conv_id")
     return (
         packets.select(*cols)
         .groupBy("batch_id", "destination")

@@ -337,7 +337,9 @@ def run_ingestion(
         from ..functions.avro_codec import write_batch_containers
 
         (
-            write_batch_containers(packets, f"{output_root}/avro")
+            write_batch_containers(
+                packets, f"{output_root}/avro", window_start_s=opts.window_start_s
+            )
             .withColumn("window_start_s", F.lit(opts.window_start_s))
             .write.mode("overwrite")
             .partitionBy("window_start_s", "destination")

@@ -1,3 +1,4 @@
+from .avro_packets import read_packet_containers  # noqa: F401
 from .transcripts import (  # noqa: F401
     generate_turns,
     generate_turns_with_payload,

@@ -14,7 +14,9 @@ from exposure_notifications_private_analytics_ingestion_spark.functions.avro_cod
     serialize_packets,
 )
 from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+    IngestionOptions,
     build_signatures,
+    run_ingestion,
 )
 from exposure_notifications_private_analytics_ingestion_spark.plans.manifest import (
     DataProcessorManifest,
@@ -199,3 +201,79 @@ def test_write_batch_containers_idempotent(spark, tmp_path):
     man2 = write_batch_containers(pk, str(tmp_path / "avro")).toPandas()
     digests2 = {(r.batch_id, r.destination): r.file_sha256 for r in man2.itertuples()}
     assert digests1 == digests2
+
+
+def test_read_packet_containers_roundtrip(spark, tmp_path):
+    """Full round trip: pipeline → write_batch_containers → binaryFile scan +
+    mapInPandas decode → identical packet set."""
+    from exposure_notifications_private_analytics_ingestion_spark.functions.avro_codec import (
+        write_batch_containers,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        TURNS_WITH_PAYLOAD_SCHEMA,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.operators.batching import (
+        assign_batches,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.operators.packets import (
+        split_packets,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns_with_payload,
+        read_packet_containers,
+    )
+
+    pdf = generate_turns_with_payload(n_convs=4, seed=31)
+    df = spark.createDataFrame(pdf, schema=TURNS_WITH_PAYLOAD_SCHEMA)
+    pk = split_packets(assign_batches(df, batch_size=8, window_start_s=1704067200))
+    write_batch_containers(pk, str(tmp_path / "avro")).count()
+
+    back = read_packet_containers(spark, str(tmp_path / "avro")).toPandas()
+    orig = pk.select(
+        "batch_id", "destination", "uuid", "r_pit", "encrypted_payload"
+    ).toPandas()
+    key = ["batch_id", "destination", "uuid"]
+    back_s = back[key + ["r_pit", "encrypted_payload"]].sort_values(key).reset_index(drop=True)
+    orig_s = orig.sort_values(key).reset_index(drop=True)
+    assert len(back_s) == len(orig_s)
+    assert back_s[key].equals(orig_s[key])
+    assert [bytes(b) for b in back_s["encrypted_payload"]] == [
+        bytes(b) for b in orig_s["encrypted_payload"]
+    ]
+    # r_pit null in orig (no rpit stage here) decodes as 0 via the codec
+    assert (back_s["r_pit"] == orig_s["r_pit"].fillna(0).astype("int64")).all()
+
+
+def test_run_ingestion_emits_containers_at_reference_layout(spark, tmp_path):
+    """emit_avro_containers: files land at the header's deterministic path
+    layout {dest}/{name}/YYYY/MM/dd/HH/mm/{batch_id}.batch.avro
+    (BatchWriterFn.java:135-150) and round-trip through the container source."""
+    import os
+
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns,
+        read_packet_containers,
+        write_turns_table,
+    )
+
+    JAN = 1704067200
+    pdf = generate_turns(n_convs=6, seed=3, hours=1)
+    write_turns_table(spark, pdf, str(tmp_path / "turns"))
+    opts = IngestionOptions(
+        window_start_s=JAN, duration_s=7200, batch_size=8, emit_avro_containers=True
+    )
+    run_ingestion(spark, str(tmp_path / "turns"), str(tmp_path / "out"), opts)
+    man = spark.read.parquet(str(tmp_path / "out/avro_manifest")).toPandas()
+    assert len(man) > 0
+    for r in man.itertuples():
+        assert os.path.exists(r.path)
+        # layout: .../avro/{dest}/{conv}/2024/01/01/00/00/{batch_id}.batch.avro
+        rel = os.path.relpath(r.path, str(tmp_path / "out/avro"))
+        parts = rel.split(os.sep)
+        assert parts[0] == r.destination
+        assert parts[2:7] == ["2024", "01", "01", "00", "00"]
+        assert parts[7] == f"{r.batch_id}.batch.avro"
+    # container files re-read to the same packet count as the parquet leg
+    pk_n = spark.read.parquet(str(tmp_path / "out/packets")).count()
+    back_n = read_packet_containers(spark, str(tmp_path / "out/avro")).count()
+    assert back_n == pk_n

@@ -74,7 +74,7 @@ def one_stream(tag):
     q.awaitTermination(3600)
     return time.time() - t0
 
-fn, reps = (one_batch, 3) if leg == "batch" else (one_stream, 1)
+fn, reps = (one_batch, 3) if leg == "batch" else (one_stream, 3)
 fn("warm")          # JIT + cache warm-up, discarded
 times = sorted(fn(f"m{{i}}") for i in range(reps))
 secs = times[len(times) // 2] if reps % 2 else sum(times[reps//2-1:reps//2+1]) / 2
@@ -107,7 +107,7 @@ def run(cores: int, leg: str, workdir: str):
                          turns_path=f"{workdir}/turns", workdir=workdir)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=560, cwd=REPO,
+        timeout=2400, cwd=REPO,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
     if not lines:
@@ -124,25 +124,47 @@ import json, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from exposure_notifications_private_analytics_ingestion_spark.session import get_spark
 from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import IngestionOptions, run_ingestion
+from exposure_notifications_private_analytics_ingestion_spark.streaming import StreamOptions, start_stream_ingestion
 
 shard = int(sys.argv[1]); workdir = sys.argv[2]
-spark = get_spark(app_name=f"fleet-{{shard}}", cores=8, shuffle_partitions=16)
+leg = sys.argv[3] if len(sys.argv) > 3 else "batch"
+spark = get_spark(app_name=f"fleet-{{shard}}-{{leg}}", cores=8, shuffle_partitions=16)
 path = f"{{workdir}}/shards/{{shard}}"
 warm = spark.read.parquet(path)
 warm.write.format("noop").mode("overwrite").save()
 n = warm.count()
-out = f"{{workdir}}/fleet-out-{{shard}}"
-shutil.rmtree(out, ignore_errors=True)
-t0 = time.time()
-run_ingestion(spark, path, out,
-              IngestionOptions(window_start_s=1704067200, duration_s=48*3600,
-                               batch_size=5000))
+
+def one_batch(tag):
+    out = f"{{workdir}}/fleet-out-{{shard}}-{{tag}}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    run_ingestion(spark, path, out,
+                  IngestionOptions(window_start_s=1704067200, duration_s=48*3600,
+                                   batch_size=5000))
+    return time.time() - t0
+
+def one_stream(tag):
+    out = f"{{workdir}}/fleet-sout-{{shard}}-{{tag}}"
+    ck = f"{{workdir}}/fleet-ck-{{shard}}-{{tag}}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    t0 = time.time()
+    q = start_stream_ingestion(spark, path, out, ck,
+                               StreamOptions(batch_size=5000, window_s=6*3600,
+                                             watermark="1 hour"),
+                               rocksdb_state=False)
+    q.awaitTermination(3600)
+    return time.time() - t0
+
+fn = one_batch if leg == "batch" else one_stream
+fn("warm")  # JIT + page-cache warm-up, discarded
+secs = fn("m0")
 print("FLEET " + json.dumps({{"shard": shard, "n": n,
-                              "secs": round(time.time()-t0, 2)}}))
+                              "secs": round(secs, 2)}}))
 """
 
 
-def fleet(workdir: str):
+def fleet(workdir: str, leg: str = "batch"):
     """Executor-scaling leg: N = one 8-core JVM on one conv-hash shard; 4N =
     four concurrent 8-core JVMs on the four shards. Valid decomposition
     because every post-shuffle stage of the ingestion job is conv_id-local —
@@ -173,7 +195,7 @@ print("sharded")
     def launch(shard):
         return subprocess.Popen(
             [sys.executable, "-c",
-             FLEET_WORKER.format(repo=REPO), str(shard), workdir],
+             FLEET_WORKER.format(repo=REPO), str(shard), workdir, leg],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             cwd=REPO,
         )
@@ -181,7 +203,7 @@ print("sharded")
     def collect(procs):
         recs = []
         for p in procs:
-            out, _ = p.communicate(timeout=550)
+            out, _ = p.communicate(timeout=2400)
             recs.extend(
                 json.loads(l[len("FLEET "):])
                 for l in out.splitlines() if l.startswith("FLEET ")
@@ -204,9 +226,9 @@ print("sharded")
     tps_n = n_rows / n_secs
     tps_4n = rows4 / wall4
     eff = round((tps_4n / tps_n) / 4, 3)
-    rec = {"cores": "1x8-exec", "leg": "fleet", "n_turns": n_rows,
+    rec = {"cores": "1x8-exec", "leg": f"fleet-{leg}", "n_turns": n_rows,
            "secs": n_secs, "tps": round(tps_n, 1)}
-    rec4 = {"cores": "4x8-exec", "leg": "fleet", "n_turns": rows4,
+    rec4 = {"cores": "4x8-exec", "leg": f"fleet-{leg}", "n_turns": rows4,
             "secs": wall4, "tps": round(tps_4n, 1)}
     with open(f"{workdir}/results.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
@@ -289,8 +311,9 @@ def main():
         workdir = sys.argv[4] if len(sys.argv) > 4 else DEFAULT_WORKDIR
         run(cores, leg, workdir)
     elif cmd == "fleet":
-        workdir = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_WORKDIR
-        fleet(workdir)
+        leg = sys.argv[2] if len(sys.argv) > 2 else "batch"
+        workdir = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_WORKDIR
+        fleet(workdir, leg)
     elif cmd == "finalize":
         n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         workdir = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_WORKDIR
