@@ -64,6 +64,9 @@ def main():
         "quality_score",
         "lang_id",
         "fingerprint",
+        "ngram_doc_frequency",
+        "corpus_stats_by_lang",
+        "length_percentiles",
         "exact_dedup_docs",
         "minhash_lsh_pairs",
         "simhash_docs",

@@ -110,3 +110,68 @@ def fingerprint(
         F.md5(F.col(text)).alias("fingerprint"),
         F.array_min(shingles).alias("min_shingle_fp"),
     )
+
+
+def ngram_doc_frequency(
+    df: DataFrame, n: int = 2, k: int = 20, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k word n-grams by DOCUMENT frequency (the DF table behind IDF /
+    vocabulary pruning). Distinct shingles per doc → one hash-agg per shingle
+    → distributed top-k (`orderBy(...).limit(k)` plans TakeOrderedAndProject:
+    per-partition partial top-k, no global sort)."""
+    from pyspark.sql import Window
+
+    from .doc_dedup import shingles_df
+
+    counts = (
+        shingles_df(df, n, text, id_col)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    topk = counts.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc()).limit(k)
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(F.col("shingle").alias("ngram"), "doc_freq", "rank")
+    )
+
+
+def corpus_stats_by_lang(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-language corpus rollup (doc count, token mass, quality pass count)
+    — lang-ID + quality heuristics composed into ONE narrow projection (no
+    join: both derive from the same row) followed by one hash-agg."""
+    w = words_col(text)
+    n_tok = F.size(w)
+    mean_wl = F.round((F.length(text) - (n_tok - 1)) / n_tok, 6)
+    langs = sorted(STOPWORDS)
+    scores = {
+        k: F.round(_hit_count(w, v) / n_tok, 6) for k, v in sorted(STOPWORDS.items())
+    }
+    best = F.greatest(*scores.values())
+    pick = F.coalesce(*[F.when(scores[k] == best, F.lit(k)) for k in langs])
+    passes = (n_tok >= 5) & (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    base = df.select(
+        pick.alias("lang_pred"), n_tok.alias("n_tokens"), passes.alias("passes")
+    )
+    return base.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count("*"), 6).alias("mean_tokens"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("n_pass_quality"),
+    )
+
+
+def length_percentiles(df: DataFrame, text: str = "text") -> DataFrame:
+    """Exact char-length distribution of the corpus (one row): p50/p90/p99 +
+    max + count. Exact `percentile` (not approx) — bit-stable across engines
+    and still a single partial+final aggregation."""
+    ln = F.length(text)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr(f"percentile(length({text}), 0.5D)"), 6).alias("p50_chars"),
+        F.round(F.expr(f"percentile(length({text}), 0.9D)"), 6).alias("p90_chars"),
+        F.round(F.expr(f"percentile(length({text}), 0.99D)"), 6).alias("p99_chars"),
+        F.max(ln).alias("max_chars"),
+    )

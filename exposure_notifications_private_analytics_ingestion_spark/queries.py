@@ -562,6 +562,71 @@ FROM s GROUP BY doc_id, fp
 """
 
 
+def q_ngram_doc_frequency(spark, sf_dir):
+    from .operators.text_analysis import ngram_doc_frequency
+
+    return ngram_doc_frequency(_read(spark, sf_dir, "documents"), n=2, k=20)
+
+
+SQL_NGRAM_DOC_FREQ = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1]))) AS sh
+      FROM d WHERE len(ws) >= 2),
+c AS (SELECT sh AS ngram, count(*) AS doc_freq FROM s GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY doc_freq DESC, ngram ASC) AS rank
+      FROM c)
+SELECT ngram, doc_freq, rank::INT AS rank FROM r WHERE rank <= 20
+"""
+
+
+def q_corpus_stats_by_lang(spark, sf_dir):
+    from .operators.text_analysis import corpus_stats_by_lang
+
+    return corpus_stats_by_lang(_read(spark, sf_dir, "documents"))
+
+
+def _sql_corpus_stats() -> str:
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n       ".join(
+        f"round(len(list_filter(ws, w -> list_contains([{_stop_sql(k)}], w))) / len(ws), 6) AS score_{k}"
+        for k in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{k}" for k in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN score_{k} = {best} THEN '{k}'" for k in langs
+    ) + " END"
+    mwl = "round((length(text) - (len(ws) - 1)) / len(ws), 6)"
+    return f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, len(ws) AS n_tokens,
+       {score_cols},
+       (len(ws) >= 5 AND {mwl} >= 2.0 AND {mwl} <= 12.0) AS passes
+FROM d),
+p AS (SELECT *, {pick} AS lang_pred FROM s)
+SELECT lang_pred, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       round(sum(n_tokens) / count(*), 6) AS mean_tokens,
+       sum(CASE WHEN passes THEN 1 ELSE 0 END)::BIGINT AS n_pass_quality
+FROM p GROUP BY 1
+"""
+
+
+def q_length_percentiles(spark, sf_dir):
+    from .operators.text_analysis import length_percentiles
+
+    return length_percentiles(_read(spark, sf_dir, "documents"))
+
+
+SQL_LENGTH_PERCENTILES = """
+SELECT count(*) AS n_docs,
+       round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+       round(quantile_cont(length(text), 0.9), 6) AS p90_chars,
+       round(quantile_cont(length(text), 0.99), 6) AS p99_chars,
+       max(length(text))::INT AS max_chars
+FROM documents
+"""
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     return exact_dedup(_read(spark, sf_dir, "documents"))
 
@@ -880,6 +945,9 @@ def registry() -> dict[str, tuple]:
         "quality_score": (q_quality_score, SQL_QUALITY),
         "lang_id": (q_lang_id, _sql_lang_id()),
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "ngram_doc_frequency": (q_ngram_doc_frequency, SQL_NGRAM_DOC_FREQ),
+        "corpus_stats_by_lang": (q_corpus_stats_by_lang, _sql_corpus_stats()),
+        "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
         "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
         "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
         "simhash_docs": (q_simhash, _sql_simhash()),
