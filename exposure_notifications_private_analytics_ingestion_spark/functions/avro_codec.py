@@ -150,23 +150,25 @@ PACKET_FIELDS = [
 ]
 
 
-_JVM_AVRO_AVAILABLE: bool | None = None
+_JVM_AVRO_AVAILABLE: dict[str, bool] = {}
 
 
 def _jvm_avro_available(spark) -> bool:
-    """Probe the spark-avro classpath ONCE, on a 1-row literal frame — never
-    by executing the caller's (potentially expensive) upstream plan."""
-    global _JVM_AVRO_AVAILABLE
-    if _JVM_AVRO_AVAILABLE is None:
+    """Probe the spark-avro classpath ONCE PER SPARK CONTEXT, on a 1-row
+    literal frame — never by executing the caller's (potentially expensive)
+    upstream plan. Keyed by applicationId: a new context after ``stop()``
+    may have a different classpath, so a process-global bool would go stale."""
+    key = spark.sparkContext.applicationId
+    if key not in _JVM_AVRO_AVAILABLE:
         try:
             from pyspark.sql.avro.functions import to_avro
 
             probe = spark.range(1).select(to_avro(F.struct(F.lit("x").alias("s"))))
             probe.collect()
-            _JVM_AVRO_AVAILABLE = True
+            _JVM_AVRO_AVAILABLE[key] = True
         except Exception:
-            _JVM_AVRO_AVAILABLE = False
-    return _JVM_AVRO_AVAILABLE
+            _JVM_AVRO_AVAILABLE[key] = False
+    return _JVM_AVRO_AVAILABLE[key]
 
 
 def serialize_packets(df: DataFrame) -> DataFrame:

@@ -153,7 +153,6 @@ def ngram_jaccard_pairs(
     pairs — cost O(|candidates| · avg_shingles), never all-pairs. This is
     the 100 TB path; shingle computation is also pruned (semi-join) to docs
     that appear in some candidate pair."""
-    sh = shingles_df(df, n, text, id_col)
     if candidates is not None:
         cand = candidates.select("doc_a", "doc_b")
         ids = (
@@ -161,7 +160,12 @@ def ngram_jaccard_pairs(
             .union(cand.select(F.col("doc_b").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(ids, id_col, "left_semi")
+        # prune the DOCS before shingling (not the shingles after): the
+        # semi-join lands below the explode, so this pass only re-shingles
+        # candidate documents — the one full-corpus shingle pass is the
+        # candidate generator's
+        df = df.join(ids, id_col, "left_semi")
+    sh = shingles_df(df, n, text, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
         inter = (

@@ -334,17 +334,35 @@ def run_ingestion(
             .parquet(f"{output_root}/signatures")
         )
     if opts.emit_avro_containers:
+        import glob as _glob
+        import shutil as _shutil
+        from datetime import datetime, timezone
+
         from ..functions.avro_codec import write_batch_containers
 
-        (
-            write_batch_containers(
-                packets, f"{output_root}/avro", window_start_s=opts.window_start_s
+        # W4 idempotence for the container leg: batch membership can change
+        # between runs of the same window (different batch ids), and the
+        # per-file atomic replace only overwrites same-named files — so clear
+        # THIS WINDOW's subtrees ({dest}/{name}/YYYY/MM/dd/HH/mm) before
+        # rewriting; other windows' files are untouched.
+        ts_path = datetime.fromtimestamp(
+            opts.window_start_s, tz=timezone.utc
+        ).strftime("%Y/%m/%d/%H/%M")
+        for d in _glob.glob(f"{output_root}/avro/*/*/{ts_path}"):
+            _shutil.rmtree(d, ignore_errors=True)
+
+        manifest = write_batch_containers(
+            packets, f"{output_root}/avro", window_start_s=opts.window_start_s
+        ).withColumn("window_start_s", F.lit(opts.window_start_s))
+        if is_empty:
+            # same schema-preserving empty write as the other legs
+            manifest.write.mode("overwrite").parquet(f"{output_root}/avro_manifest")
+        else:
+            (
+                manifest.write.mode("overwrite")
+                .partitionBy("window_start_s", "destination")
+                .parquet(f"{output_root}/avro_manifest")
             )
-            .withColumn("window_start_s", F.lit(opts.window_start_s))
-            .write.mode("overwrite")
-            .partitionBy("window_start_s", "destination")
-            .parquet(f"{output_root}/avro_manifest")
-        )
     headers.unpersist()
     packets.unpersist()
     stats_rows = counters.collect()

@@ -41,11 +41,23 @@ READ_SCHEMA = T.StructType(
 def read_packet_containers(spark: SparkSession, path: str) -> DataFrame:
     """All packets under ``path`` (recursive) as one DataFrame.
 
-    ``path`` layout: ``{path}/{destination}/{batch_id}.batch.avro`` (the
-    ``write_batch_containers`` convention); other layouts still decode but
-    carry null batch_id/destination when the name doesn't match.
+    ``path`` layouts (both from ``write_batch_containers``): flat
+    ``{path}/{destination}/{batch_id}.batch.avro`` or windowed
+    ``{path}/{destination}/{name}/YYYY/MM/dd/HH/mm/{batch_id}.batch.avro`` —
+    the destination is always the FIRST path component under ``path``;
+    unrecognized layouts decode with null batch_id/destination.
     """
     from ..functions.avro_codec import read_container
+
+    def _strip_scheme(p: str) -> str:
+        if "://" in p:
+            p = p.split("://", 1)[-1]
+        elif p.startswith("file:"):
+            p = p[len("file:") :]
+        return p
+
+    _root = _strip_scheme(path)
+    root_abs = os.path.abspath(_root) if not _root.startswith("/") else _root
 
     files = (
         spark.read.format("binaryFile")
@@ -55,6 +67,19 @@ def read_packet_containers(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
 
+    def _destination(p: str) -> str | None:
+        # binaryFile paths come back as URIs (file:/...) — strip the scheme,
+        # then take the first component relative to the scan root
+        local = _strip_scheme(p)
+        try:
+            rel = os.path.relpath(local, root_abs)
+        except ValueError:
+            return None
+        parts = rel.split(os.sep)
+        if not parts or parts[0] in ("..", "."):
+            return None
+        return parts[0]
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in READ_SCHEMA.fields}
@@ -63,7 +88,7 @@ def read_packet_containers(spark: SparkSession, path: str) -> DataFrame:
                 batch_id = (
                     name[: -len(".batch.avro")] if name.endswith(".batch.avro") else None
                 )
-                destination = os.path.basename(os.path.dirname(p)) or None
+                destination = _destination(p)
                 _meta, recs = read_container(bytes(blob))
                 for r in recs:
                     out["batch_id"].append(batch_id)

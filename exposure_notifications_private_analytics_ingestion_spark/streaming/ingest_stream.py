@@ -225,10 +225,15 @@ def make_assembler(opts: StreamOptions):
                     # bridge-merge: absorb any later session whose interval
                     # now overlaps ours ([start, last+gap) touching)
                     merged = False
+                    # turns a pre-merge session has seen but no longer
+                    # buffers were already EMITTED by it — they must not
+                    # resurface from the other session's buffer post-merge
+                    emitted = e[2] - set(e[3])
                     for s in sorted(k for k in wins if k > w):
                         if s * 1000 < e[1] + gap_ms:
                             o = wins.pop(s)
                             # keep w's ordinal space; union dedup + buffers
+                            emitted |= o[2] - set(o[3])
                             e[1] = max(e[1], o[1])
                             e[2] |= o[2]
                             e[3] += o[3]
@@ -238,9 +243,11 @@ def make_assembler(opts: StreamOptions):
                         else:
                             break
                     if merged:
-                        # a turn buffered in BOTH pre-merge sessions must not
-                        # survive twice: keep first occurrence per turn_idx
-                        seen_buf: set = set()
+                        # a turn buffered in BOTH pre-merge sessions (or
+                        # buffered in one and already emitted by the other)
+                        # must survive at most once: keep first unemitted
+                        # occurrence per turn_idx
+                        seen_buf: set = set(emitted)
                         b3, b4, b5 = [], [], []
                         for ti, tx, tm in zip(e[3], e[4], e[5]):
                             if ti in seen_buf:

@@ -273,7 +273,35 @@ def test_run_ingestion_emits_containers_at_reference_layout(spark, tmp_path):
         assert parts[0] == r.destination
         assert parts[2:7] == ["2024", "01", "01", "00", "00"]
         assert parts[7] == f"{r.batch_id}.batch.avro"
-    # container files re-read to the same packet count as the parquet leg
-    pk_n = spark.read.parquet(str(tmp_path / "out/packets")).count()
-    back_n = read_packet_containers(spark, str(tmp_path / "out/avro")).count()
-    assert back_n == pk_n
+    # container files re-read to the same packet set as the parquet leg —
+    # including the DESTINATION recovered from the windowed layout
+    pk = spark.read.parquet(str(tmp_path / "out/packets"))
+    back = read_packet_containers(spark, str(tmp_path / "out/avro"))
+    assert back.count() == pk.count()
+    back_d = dict(
+        (r["destination"], r["count"])
+        for r in back.groupBy("destination").count().collect()
+    )
+    pk_d = dict(
+        (r["destination"], r["count"])
+        for r in pk.groupBy("destination").count().collect()
+    )
+    assert back_d == pk_d and set(back_d) == {"pha", "facilitator"}
+
+    # W4 idempotence under CHANGED batch membership: re-run the same window
+    # with a different batch_size (new batch ids) — no stale files survive
+    pk_count = pk.count()  # materialize before the rerun replaces the files
+    opts2 = IngestionOptions(
+        window_start_s=JAN, duration_s=7200, batch_size=5, emit_avro_containers=True
+    )
+    run_ingestion(spark, str(tmp_path / "turns"), str(tmp_path / "out"), opts2)
+    man2 = spark.read.parquet(str(tmp_path / "out/avro_manifest")).toPandas()
+    import glob
+
+    on_disk = sorted(
+        glob.glob(str(tmp_path / "out/avro") + "/**/*.batch.avro", recursive=True)
+    )
+    assert sorted(man2["path"]) == on_disk
+    assert (
+        read_packet_containers(spark, str(tmp_path / "out/avro")).count() == pk_count
+    )

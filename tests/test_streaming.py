@@ -307,3 +307,43 @@ def test_bridge_merge_dedups_buffer_and_drains_size(spark, tmp_path):
     # batch sizes: one exact size-close (6) then the session-close remainder
     sizes = pha.groupby("batch_id").size().sort_values(ascending=False).tolist()
     assert sizes == [6, 3]
+
+
+def test_bridge_merge_never_reemits_already_closed_turns(spark, tmp_path):
+    """Code-review r2 regression: a turn EMITTED by a pre-merge size-close
+    must not resurface from the other session's buffer after a bridge-merge."""
+    import pandas as pd
+
+    inp, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # session A: turns 0,1 at t=0,10 — size-closes immediately (batch_size=2),
+    # so both are EMITTED and A's buffer is empty
+    f1 = [_turn("conv-r", 0, 0), _turn("conv-r", 1, 10)]
+    # session B (separate: 3000 - 10 > 1800): ONLY a duplicate of turn 1,
+    # still buffered (below batch_size) when the merge happens
+    f1 += [_turn("conv-r", 1, 3000, text="dup-of-1")]
+    # bridge row extends A to t=1500, absorbing B (3000 < 1500 + 1800);
+    # B's buffered dup must be discarded because A already emitted turn 1
+    f2 = [_turn("conv-r", 25, 1500)]
+    # a fresh turn joins the merged session afterwards
+    f3 = [_turn("conv-r", 10, 3100)]
+    f4 = [_turn("conv-wm", i, 40000 + i) for i in range(2)]
+    for rows in (f1, f2, f3, f4):
+        pdf = pd.DataFrame(rows)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        spark.createDataFrame(pdf, schema=TURNS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+    # watermark wide enough that session A is still in state when the bridge
+    # arrives (state expiry past the horizon legitimately forgets dedup
+    # memory — that is watermark semantics, not a bug)
+    q = start_stream_ingestion(
+        spark, inp, out, ckpt,
+        StreamOptions(batch_size=2, mode="session", session_gap_s=1800,
+                      watermark="2 hours", max_files_per_trigger=1),
+    )
+    q.awaitTermination(240)
+    pk = spark.read.parquet(f"{out}/packets").filter("conv_id='conv-r'").toPandas()
+    pha = pk[pk["destination"] == "pha"]
+    # every turn exactly once — in particular turn 1 (emitted by A's
+    # size-close, duplicated into B's buffer) must NOT appear twice
+    assert sorted(pha["turn_idx"]) == [0, 1, 10, 25]
