@@ -74,6 +74,7 @@ def main():
         "near_dup_components",
         "near_dup_verified_components",
         "revenue_by_nation",
+        "part_revenue_by_region",
         "top_spenders_per_type",
         "distinct_users_hourly",
         "cosine_near_dup_pairs",

@@ -414,6 +414,46 @@ GROUP BY n_name
 """
 
 
+def q_part_revenue_by_region(spark, sf_dir):
+    """5-way star join (TPC-H Q5/Q9 shape): fact lineitem ⋈ part ⋈ supplier
+    ⋈ nation ⋈ region, revenue rolled up per (region, brand). part is the
+    only mid-size dim (no hint — AQE decides); supplier/nation/region are
+    broadcast. Engine-completeness: the deepest join tree in the registry."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PART_REVENUE_REGION = """
+SELECT r_name, p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def q_top_spenders_per_type(spark, sf_dir):
     """Top-3 users by summed value per event_type (rank window, deterministic
     tiebreak)."""
@@ -939,6 +979,7 @@ def registry() -> dict[str, tuple]:
         "hot_key_salted_agg": (q_hot_key_salted_agg, SQL_SALTED),
         "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_Q1),
         "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
+        "part_revenue_by_region": (q_part_revenue_by_region, SQL_PART_REVENUE_REGION),
         "top_spenders_per_type": (q_top_spenders_per_type, SQL_TOP_SPENDERS),
         "distinct_users_hourly": (q_distinct_users_hourly, SQL_DISTINCT_USERS),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
