@@ -38,8 +38,12 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--window-start", type=int, default=None)
     pi.add_argument("--duration", type=int, default=3600)
     pi.add_argument("--batch-size", type=int, default=100_000)
-    pi.add_argument("--attestation", default=None)
+    pi.add_argument("--attestation", default=None,
+                    help="registered stage: signature_presence | signature_verify")
     pi.add_argument("--scalable-chunking", action="store_true")
+    pi.add_argument("--emit-avro-containers", action="store_true",
+                    help="also write one Avro object-container file per "
+                         "(batch, destination) at the reference path layout")
 
     ps = sub.add_parser("stream", help="continuous streaming ingestion")
     ps.add_argument("--input", required=True)
@@ -68,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
             batch_size=args.batch_size,
             attestation=args.attestation,
             scalable_chunking=args.scalable_chunking,
+            emit_avro_containers=args.emit_avro_containers,
         )
         stats = run_ingestion(spark, args.input, args.output, opts)
         print(json.dumps({"window_start": start, "invalid_counters": stats}))
