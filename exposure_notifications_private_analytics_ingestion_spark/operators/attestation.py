@@ -115,8 +115,17 @@ def signature_verify_attestation(df: DataFrame) -> DataFrame:
                 out.append(False)
         return pd.Series(out)
 
-    if "signature" not in df.columns:
-        return df
+    # Fail CLOSED: an explicitly requested cryptographic attestation over a
+    # frame that cannot carry a signature must be an error, not a silent
+    # pass-through (the presence stand-in stays lenient; this one must not).
+    required = ["signature", "cert_chain", "encrypted_shares"]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            "signature_verify attestation requires columns "
+            f"{required}; input is missing {missing} — refusing to fail "
+            "open (every row would pass unverified)"
+        )
     return df.filter(
         _ok(
             F.col("signature"),

@@ -69,35 +69,45 @@ def dedup_window_chunk(
     key_cols: list[str] | None = None,
     order_cols: list[str] | None = None,
     ts_col: str = "ts",
+    dedup_key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Fused D1+F1+G1: deterministic dedup, window filter, and fixed-size
     chunking behind a SINGLE exchange.
 
-    Trick: ``repartition(key)`` gives HashPartitioning(key), which satisfies
-    the ClusteredDistribution of BOTH window specs — dedup's
-    ``partitionBy(key, turn_idx)`` (partitioning on a *subset* of the
-    clustering keys still co-locates every full key) and chunking's
-    ``partitionBy(key)``. The dedup window's sort order
-    ``(key, turn_idx, row_hash)`` is a prefix-superset of the chunking
-    window's ``(key, turn_idx)``, so Catalyst inserts ONE sort total.
-    Net plan: Exchange → Sort → Window → Filter → Window → …, versus the
-    unfused pipeline's two exchanges + four sorts (SortAggregate dedup is
-    unavoidable once string payloads ride the aggregation buffer).
+    Trick: ``repartition(dedup_key)`` gives HashPartitioning(dedup_key),
+    which satisfies the ClusteredDistribution of BOTH window specs — dedup's
+    ``partitionBy(dedup_key, turn_idx)`` and chunking's
+    ``partitionBy(key_cols)`` (partitioning on a *subset* of the clustering
+    keys still co-locates every full key; dedup_key must be a subset of
+    key_cols, which holds — chunk keys only ever EXTEND the dedup keys).
+    When the two key sets are equal (plain transcripts) the dedup sort
+    ``(key, turn_idx, row_hash)`` is a prefix-superset of the chunking sort
+    ``(key, turn_idx)``, so Catalyst inserts ONE sort total; with
+    prio-extended chunk keys a second sort appears but never a second
+    exchange. Versus the unfused pipeline's two exchanges + four sorts
+    (SortAggregate dedup is unavoidable once string payloads ride the
+    aggregation buffer).
 
-    Dedup winner = min row-hash (xxhash64 over all non-key columns):
+    Dedup winner = min row-hash (xxhash64 over all non-dedup-key columns):
     deterministic under replay, same contract as dedup_turns_deterministic.
+    Dedup is keyed on ``(dedup_key_cols, order_cols)`` — NOT the extended
+    chunk key — so duplicate turns collapse to one row even when their
+    payload metadata differs (same semantics as the unfused paths).
     """
     key_cols = key_cols or ["conv_id"]
+    dedup_key_cols = dedup_key_cols or key_cols
     order_cols = order_cols or ["turn_idx"]
-    rest = [c for c in df.columns if c not in key_cols and c not in order_cols]
-    w_dedup = Window.partitionBy(*key_cols, *order_cols).orderBy(
+    rest = [
+        c for c in df.columns if c not in dedup_key_cols and c not in order_cols
+    ]
+    w_dedup = Window.partitionBy(*dedup_key_cols, *order_cols).orderBy(
         F.xxhash64(*[F.col(c) for c in rest])
     )
     w_chunk = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
     ts_ms = F.expr(f"unix_micros({ts_col}) div 1000")
     lo, hi = window_start_s * 1000, (window_start_s + duration_s) * 1000
     out = (
-        df.repartition(*[F.col(c) for c in key_cols])
+        df.repartition(*[F.col(c) for c in dedup_key_cols])
         .withColumn("_rn_dedup", F.row_number().over(w_dedup))
         .filter(F.col("_rn_dedup") == 1)
         .filter(F.col(ts_col).isNotNull() & (ts_ms >= lo) & (ts_ms < hi))

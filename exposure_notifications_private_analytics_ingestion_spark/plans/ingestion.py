@@ -83,44 +83,54 @@ def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, Dat
     # K1 — the reference keys batches by the FULL stringified
     # DataShareMetadata (IngestionPipeline.java:78-88), so documents with
     # different prio_params never share a batch; mirror that by extending the
-    # batching key with the prio fields in the payload variant.
-    key_cols = list(opts.key_cols)
+    # CHUNKING key with the prio fields. They are projected to TOP-LEVEL
+    # columns first (`_k_*`) because nested field names cannot serve as
+    # groupBy/USING-join keys (assign_batches_scalable's count-join would
+    # raise UNRESOLVED_USING_COLUMN_FOR_JOIN on 'prio_params.bins').
+    # Dedup stays keyed on (key_cols, turn_idx) in ALL paths — duplicate
+    # turns collapse to one row regardless of payload differences, matching
+    # the reference's Distinct-by-path (IngestionPipeline.java:110-119).
+    dedup_keys = list(opts.key_cols)
+    chunk_keys = list(opts.key_cols)
     if has_payload:
-        key_cols += [
-            "prio_params.bins",
-            "prio_params.epsilon",
-            "prio_params.hamming_weight",
-            "prio_params.prime",
-        ]
+        for f_name in ("bins", "epsilon", "hamming_weight", "prime"):
+            valid = valid.withColumn(f"_k_{f_name}", F.col(f"prio_params.{f_name}"))
+            chunk_keys.append(f"_k_{f_name}")
 
     if opts.scalable_chunking:
         # hot-key path: no per-key sort; dedup → window → hash-routed chunks
-        deduped = dedup_turns_deterministic(valid)
+        deduped = dedup_turns_deterministic(valid, key=dedup_keys + ["turn_idx"])
         windowed = window_filter(deduped, opts.window_start_s, opts.duration_s)
         if stage is not None:
             windowed = stage(windowed)
         batched = assign_batches_scalable(
-            windowed, opts.batch_size, opts.window_start_s, key_cols=key_cols
+            windowed, opts.batch_size, opts.window_start_s, key_cols=chunk_keys
         )
     elif stage is not None:
         # attestation must sit between window filter and chunking (reference
         # op order F1→F2→K1, IngestionPipeline.java:61-89) — unfused path
-        deduped = dedup_turns_deterministic(valid)
+        deduped = dedup_turns_deterministic(valid, key=dedup_keys + ["turn_idx"])
         windowed = stage(window_filter(deduped, opts.window_start_s, opts.duration_s))
         batched = assign_batches(
-            windowed, opts.batch_size, opts.window_start_s, key_cols=key_cols
+            windowed, opts.batch_size, opts.window_start_s, key_cols=chunk_keys
         )
     else:
-        # fused D1+F1+G1: one exchange, one sort (see dedup_window_chunk);
-        # dedup still precedes the window filter, mirroring reference op
-        # order (IngestionPipeline.java:110-120)
+        # fused D1+F1+G1: one exchange (see dedup_window_chunk); dedup still
+        # precedes the window filter, mirroring reference op order
+        # (IngestionPipeline.java:110-120). Dedup partitions on dedup_keys,
+        # chunking on the prio-extended chunk_keys — same exchange serves
+        # both (subset-clustering rule).
         batched = dedup_window_chunk(
             valid,
             opts.batch_size,
             opts.window_start_s,
             opts.duration_s,
-            key_cols=key_cols,
+            key_cols=chunk_keys,
+            dedup_key_cols=dedup_keys,
         )
+    drop_helper = [c for c in batched.columns if c.startswith("_k_")]
+    if drop_helper:
+        batched = batched.drop(*drop_helper)
     if has_payload:
         # V2 — rPit generated once per valid share BEFORE the fork, so both
         # destinations carry the same value (DataShare.java:190-205; the
@@ -244,6 +254,37 @@ def build_signatures(
     )
 
 
+def _write_triplet_leg(
+    df: DataFrame, path: str, is_empty: bool, window_start_s: int
+) -> None:
+    """One read-back layout for empty and non-empty windows.
+
+    Non-empty: dynamic-overwrite hive partitions on
+    ``(window_start_s, destination)``. An empty partitioned overwrite would
+    leave a schema-less directory (UNABLE_TO_INFER_SCHEMA on read), so the
+    empty case writes one unpartitioned parquet file with the SAME schema a
+    partitioned read-back yields — data columns first, then ``window_start_s``
+    typed exactly as partition-value inference would type it (int when the
+    value fits, long otherwise) and ``destination`` — so readers that union
+    output across runs see a single schema either way.
+    """
+    part_cols = ["window_start_s", "destination"]
+    if is_empty:
+        data_cols = [c for c in df.columns if c not in part_cols]
+        ws_type = "int" if -(2**31) <= window_start_s < 2**31 else "long"
+        (
+            df.select(
+                *data_cols,
+                F.col("window_start_s").cast(ws_type).alias("window_start_s"),
+                F.col("destination").cast("string").alias("destination"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    else:
+        df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+
+
 def run_ingestion(
     spark: SparkSession,
     input_path: str,
@@ -298,19 +339,15 @@ def run_ingestion(
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        packets.write.mode("overwrite")
-        .partitionBy("window_start_s", "destination")
-        .parquet(f"{output_root}/packets")
-    )
     # empty-window hardening: a partitioned overwrite of zero rows leaves a
-    # schema-less directory (readers would raise UNABLE_TO_INFER_SCHEMA); in
-    # that case rewrite each leg unpartitioned so the parquet footer carries
-    # the full schema and read-back yields 0 rows instead of an error.
+    # schema-less directory (readers would raise UNABLE_TO_INFER_SCHEMA), so
+    # _write_triplet_leg writes the empty case unpartitioned WITH the same
+    # read-back schema as the partitioned layout (one schema across runs).
     # take(1) is a cheap action against the already-persisted fan-out.
     is_empty = len(packets.take(1)) == 0
-    if is_empty:
-        packets.write.mode("overwrite").parquet(f"{output_root}/packets")
+    _write_triplet_leg(
+        packets, f"{output_root}/packets", is_empty, opts.window_start_s
+    )
     # headers/signatures derive from the CACHED fan-out (and the groupBy on
     # (batch_id, destination) is exchange-free on the batch_id partitioning)
     headers = build_headers(packets, opts).persist()
@@ -318,21 +355,13 @@ def run_ingestion(
     signatures_out = build_signatures(headers).withColumn(
         "window_start_s", F.lit(opts.window_start_s)
     )
-    if is_empty:
-        headers_out.write.mode("overwrite").parquet(f"{output_root}/batch_headers")
-        signatures_out.write.mode("overwrite").parquet(f"{output_root}/signatures")
-    else:
-        (
-            headers_out.write.mode("overwrite")
-            .partitionBy("window_start_s", "destination")
-            .parquet(f"{output_root}/batch_headers")
-        )
-        # W3 — the signature leg of the reference's Avro triplet
-        (
-            signatures_out.write.mode("overwrite")
-            .partitionBy("window_start_s", "destination")
-            .parquet(f"{output_root}/signatures")
-        )
+    _write_triplet_leg(
+        headers_out, f"{output_root}/batch_headers", is_empty, opts.window_start_s
+    )
+    # W3 — the signature leg of the reference's Avro triplet
+    _write_triplet_leg(
+        signatures_out, f"{output_root}/signatures", is_empty, opts.window_start_s
+    )
     if opts.emit_avro_containers:
         import glob as _glob
         import shutil as _shutil
@@ -354,15 +383,12 @@ def run_ingestion(
         manifest = write_batch_containers(
             packets, f"{output_root}/avro", window_start_s=opts.window_start_s
         ).withColumn("window_start_s", F.lit(opts.window_start_s))
-        if is_empty:
-            # same schema-preserving empty write as the other legs
-            manifest.write.mode("overwrite").parquet(f"{output_root}/avro_manifest")
-        else:
-            (
-                manifest.write.mode("overwrite")
-                .partitionBy("window_start_s", "destination")
-                .parquet(f"{output_root}/avro_manifest")
-            )
+        _write_triplet_leg(
+            manifest,
+            f"{output_root}/avro_manifest",
+            is_empty,
+            opts.window_start_s,
+        )
     headers.unpersist()
     packets.unpersist()
     stats_rows = counters.collect()
