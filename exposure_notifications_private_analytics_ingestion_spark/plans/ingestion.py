@@ -55,6 +55,12 @@ class IngestionOptions:
     # also emit one Avro object-container file per (batch, destination) —
     # the reference's native output format (PrioSerializationHelper.java:53-88)
     emit_avro_containers: bool = False
+    # W3 — when set, sign headers with this P-256 key (PEM) instead of the
+    # keyed-digest stand-in, and publish {key_identifier, public key DER} to
+    # {output_root}/signing_key.json so downstream verifies without secrets
+    # (BatchWriterFn.java:225-239 asymmetricSign contract)
+    signing_key_pem: bytes | None = None
+    signing_key_id: str = "local-ecdsa-p256-v1"
 
 
 def process_turns(df: DataFrame, opts: IngestionOptions) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -236,10 +242,12 @@ def build_signatures(
 ) -> DataFrame:
     """W3 — batch-header signature file (``PrioBatchSignature``:
     ``pipeline/BatchWriterFn.java:225-239`` signs the header's SHA-256 via
-    GCP KMS asymmetricSign). No KMS in the sandbox: stand-in is a keyed
+    GCP KMS asymmetricSign). This is the LEGACY symmetric stand-in — a keyed
     digest ``sha256(secret | header_digest | secret)`` behind the same
-    (batch_id, signature, key_identifier) interface — swap the column
-    expression for a KMS/KDF call on a real deployment."""
+    (batch_id, signature, key_identifier) interface. Prefer the verifiable
+    asymmetric path: set ``IngestionOptions.signing_key_pem`` (see
+    ``functions/signing.py``), which signs with ECDSA P-256 and publishes
+    the public key so downstream verifies without a shared secret."""
     sig = F.sha2(
         F.concat_ws(
             "|", F.lit(secret), F.col("packet_file_digest"), F.lit(secret)
@@ -352,7 +360,33 @@ def run_ingestion(
     # (batch_id, destination) is exchange-free on the batch_id partitioning)
     headers = build_headers(packets, opts).persist()
     headers_out = headers.withColumn("window_start_s", F.lit(opts.window_start_s))
-    signatures_out = build_signatures(headers).withColumn(
+    if opts.signing_key_pem is not None:
+        import json as _json
+
+        from ..functions.signing import public_key_der_b64, sign_headers
+
+        signatures = sign_headers(
+            headers, opts.signing_key_pem, key_id=opts.signing_key_id
+        )
+        # publish the verification material (key id + public key DER) —
+        # the sandbox analog of the KMS key resource name the reference's
+        # downstream resolves (IngestionPipelineIT.java:700-721)
+        import os as _os
+
+        _os.makedirs(output_root, exist_ok=True)
+        with open(f"{output_root}/signing_key.json", "w") as fh:
+            _json.dump(
+                {
+                    "key_identifier": opts.signing_key_id,
+                    "public_key_der_b64": public_key_der_b64(
+                        opts.signing_key_pem
+                    ),
+                },
+                fh,
+            )
+    else:
+        signatures = build_signatures(headers)
+    signatures_out = signatures.withColumn(
         "window_start_s", F.lit(opts.window_start_s)
     )
     _write_triplet_leg(

@@ -49,6 +49,14 @@ class StreamOptions:
     mode: str = "tumbling"  # 'tumbling' | 'session' (gap-close, north_rule)
     session_gap_s: int = 1800
     max_files_per_trigger: int = 64  # source micro-batch sizing
+    # state bucketing: key the stateful operator by hash(conv_id) % bucket_by
+    # instead of raw conv_id, amortizing per-group overhead (state get/put,
+    # Arrow framing, pandas construction — measured ~1.4 ms/group-call) over
+    # ~n_convs/bucket_by conversations per state entry. None = per-conv keys
+    # (the reference-shaped layout). Output is bit-identical either way —
+    # tests assert equality — because windows, dedup, ordering, and batch ids
+    # all derive from per-conv row data, never from the grouping key.
+    bucket_by: int | None = None
 
 
 # one output row per turn in a CLOSED batch
@@ -93,9 +101,180 @@ def _batch_id(conv_id: str, window_start_s: int, ordinal: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# shared per-conversation CEP core — ONE implementation drives both state
+# layouts (per-conv keys and hash-bucketed keys), so their semantics cannot
+# diverge. All functions are pure Python over plain dicts/lists: no Spark
+# objects, picklable, unit-testable without a session.
+#
+# wins: window_start_s -> [next_ord, last_ts_ms, seen:set,
+#                          bidx:list, btxt:list, bts:list]
+# out:  columnar accumulators (dict-of-lists -> one pdf at the end)
+# ---------------------------------------------------------------------------
+
+
+def _new_out() -> dict[str, list]:
+    return {k: [] for k in ("conv", "idx", "txt", "ts", "win", "ord", "bid", "why")}
+
+
+def _close_batch(
+    out: dict,
+    conv_id: str,
+    w: int,
+    e: list,
+    reason: str,
+    limit: int | None = None,
+) -> None:
+    """Close the buffer (or its first ``limit`` rows) as one batch —
+    post-merge buffers can exceed batch_size, so size-closes drain in
+    exact batch_size chunks."""
+    if not e[3]:
+        return
+    take = len(e[3]) if limit is None else min(limit, len(e[3]))
+    bid = _batch_id(conv_id, w, e[0])
+    out["conv"].extend([conv_id] * take)
+    out["idx"].extend(e[3][:take])
+    out["txt"].extend(e[4][:take])
+    out["ts"].extend(e[5][:take])
+    out["win"].extend([w] * take)
+    out["ord"].extend([e[0]] * take)
+    out["bid"].extend([bid] * take)
+    out["why"].extend([reason] * take)
+    e[0] += 1
+    e[3], e[4], e[5] = e[3][take:], e[4][take:], e[5][take:]
+
+
+def _out_pdf(out: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "conv_id": out["conv"],
+            "turn_idx": pd.array(out["idx"], dtype="int32"),
+            "text": out["txt"],
+            "ts_ms": out["ts"],
+            "window_start_s": out["win"],
+            "batch_ordinal": pd.array(out["ord"], dtype="int32"),
+            "batch_id": out["bid"],
+            "close_reason": out["why"],
+        }
+    )
+
+
+def _end_ms(w: int, e: list, session_mode: bool, gap_ms: int, window_s: int) -> int:
+    return (e[1] + gap_ms) if session_mode else (w + window_s) * 1000
+
+
+def _ingest_sorted(
+    out: dict,
+    conv_id: str,
+    wins: dict[int, list],
+    rows,  # iterable of (ts_ms, turn_idx, text), sorted
+    batch_size: int,
+    window_s: int,
+    session_mode: bool,
+    gap_ms: int,
+) -> None:
+    """Route one conversation's (sorted) incoming rows into its open
+    windows/sessions: assign window, bridge-merge sessions, in-state dedup,
+    buffer, drain size-closes."""
+    for ts_ms, turn_idx, text in rows:
+        turn_idx = int(turn_idx)
+        if session_mode:
+            # find a session this row extends: [start-gap, last+gap]
+            w = None
+            for s in sorted(wins):
+                e = wins[s]
+                if s * 1000 - gap_ms <= ts_ms <= e[1] + gap_ms:
+                    w = s
+                    break
+            if w is None:
+                w = ts_ms // 1000
+                wins[w] = [0, ts_ms, set(), [], [], []]
+            e = wins[w]
+            e[1] = max(e[1], ts_ms)
+            # bridge-merge: absorb any later session whose interval
+            # now overlaps ours ([start, last+gap) touching)
+            merged = False
+            # turns a pre-merge session has seen but no longer buffers were
+            # already EMITTED by it — they must not resurface from the other
+            # session's buffer post-merge
+            emitted = e[2] - set(e[3])
+            for s in sorted(k for k in wins if k > w):
+                if s * 1000 < e[1] + gap_ms:
+                    o = wins.pop(s)
+                    # keep w's ordinal space; union dedup + buffers
+                    emitted |= o[2] - set(o[3])
+                    e[1] = max(e[1], o[1])
+                    e[2] |= o[2]
+                    e[3] += o[3]
+                    e[4] += o[4]
+                    e[5] += o[5]
+                    merged = True
+                else:
+                    break
+            if merged:
+                # a turn buffered in BOTH pre-merge sessions (or buffered in
+                # one and already emitted by the other) must survive at most
+                # once: keep first unemitted occurrence per turn_idx
+                seen_buf: set = set(emitted)
+                b3, b4, b5 = [], [], []
+                for ti, tx, tm in zip(e[3], e[4], e[5]):
+                    if ti in seen_buf:
+                        continue
+                    seen_buf.add(ti)
+                    b3.append(ti)
+                    b4.append(tx)
+                    b5.append(tm)
+                e[3], e[4], e[5] = b3, b4, b5
+                # the merged buffer can exceed batch_size: drain now
+                while len(e[3]) >= batch_size:
+                    _close_batch(out, conv_id, w, e, "size", batch_size)
+        else:
+            w = (ts_ms // 1000) // window_s * window_s
+            e = wins.get(w)
+            if e is None:
+                e = wins[w] = [0, ts_ms, set(), [], [], []]
+            e[1] = max(e[1], ts_ms)
+        if turn_idx in e[2]:  # stateful dedup (D1), per window
+            continue
+        e[2].add(turn_idx)
+        e[3].append(turn_idx)
+        e[4].append(text)
+        e[5].append(ts_ms)
+        while len(e[3]) >= batch_size:
+            _close_batch(out, conv_id, w, e, "size", batch_size)
+
+
+def _evict_expired(
+    out: dict,
+    conv_id: str,
+    wins: dict[int, list],
+    wm: int,
+    batch_size: int,
+    window_s: int,
+    session_mode: bool,
+    gap_ms: int,
+    flush: bool,
+) -> None:
+    """Evict every window/session the watermark has passed; flush its
+    partial batch; keep the rest."""
+    reason = "session" if session_mode else "window"
+    for w in sorted(wins):
+        if _end_ms(w, wins[w], session_mode, gap_ms, window_s) <= wm:
+            if flush:
+                while len(wins[w][3]) > batch_size:
+                    _close_batch(out, conv_id, w, wins[w], "size", batch_size)
+                _close_batch(out, conv_id, w, wins[w], reason)
+            del wins[w]
+
+
+def _ts_ms_of(pdf: pd.DataFrame):
+    # vectorized ts->ms (never per-row pd.Timestamp)
+    return pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64") // 1000
+
+
 def make_assembler(opts: StreamOptions):
-    """Returns the applyInPandasWithState function. Pure (no closure over
-    Spark objects) so it pickles cleanly to executors."""
+    """Returns the per-conversation applyInPandasWithState function. Pure
+    (no closure over Spark objects) so it pickles cleanly to executors."""
     batch_size = opts.batch_size
     window_s = opts.window_s
     flush = opts.flush_partial_on_timeout
@@ -108,8 +287,6 @@ def make_assembler(opts: StreamOptions):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
-        # wins: window_start_s -> [next_ord, last_ts_ms, seen:set,
-        #                          bidx:list, btxt:list, bts:list]
         wins: dict[int, list] = {}
         if state.exists:
             ws, nords, lasts, seens, bidxs, btxts, btss = state.get
@@ -119,49 +296,7 @@ def make_assembler(opts: StreamOptions):
                     list(bidxs[i]), list(btxts[i]), list(btss[i]),
                 ]
 
-        # columnar output accumulators (dict-of-lists -> one pdf at the end)
-        o_idx: list[int] = []
-        o_txt: list[str] = []
-        o_ts: list[int] = []
-        o_win: list[int] = []
-        o_ord: list[int] = []
-        o_bid: list[str] = []
-        o_why: list[str] = []
-
-        def close_batch(w: int, e: list, reason: str, limit: int | None = None):
-            """Close the buffer (or its first ``limit`` rows) as one batch —
-            post-merge buffers can exceed batch_size, so size-closes drain in
-            exact batch_size chunks."""
-            if not e[3]:
-                return
-            take = len(e[3]) if limit is None else min(limit, len(e[3]))
-            bid = _batch_id(conv_id, w, e[0])
-            o_idx.extend(e[3][:take])
-            o_txt.extend(e[4][:take])
-            o_ts.extend(e[5][:take])
-            o_win.extend([w] * take)
-            o_ord.extend([e[0]] * take)
-            o_bid.extend([bid] * take)
-            o_why.extend([reason] * take)
-            e[0] += 1
-            e[3], e[4], e[5] = e[3][take:], e[4][take:], e[5][take:]
-
-        def out_pdf() -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": pd.array(o_idx, dtype="int32"),
-                    "text": o_txt,
-                    "ts_ms": o_ts,
-                    "window_start_s": o_win,
-                    "batch_ordinal": pd.array(o_ord, dtype="int32"),
-                    "batch_id": o_bid,
-                    "close_reason": o_why,
-                }
-            )
-
-        def end_ms(w: int, e: list) -> int:
-            return (e[1] + gap_ms) if session_mode else (w + window_s) * 1000
+        out = _new_out()
 
         def save_and_arm():
             if not wins:
@@ -180,104 +315,126 @@ def make_assembler(opts: StreamOptions):
                 )
             )
             wm = state.getCurrentWatermarkMs()
-            nxt = min(end_ms(w, e) for w, e in items)
+            nxt = min(
+                _end_ms(w, e, session_mode, gap_ms, window_s)
+                for w, e in items
+            )
             state.setTimeoutTimestamp(max(nxt, wm + 1))
 
         if state.hasTimedOut:
-            # evict every window/session the watermark has passed; flush its
-            # partial batch; keep (and re-arm for) the rest
-            wm = state.getCurrentWatermarkMs()
-            reason = "session" if session_mode else "window"
-            for w in sorted(wins):
-                if end_ms(w, wins[w]) <= wm:
-                    if flush:
-                        while len(wins[w][3]) > batch_size:
-                            close_batch(w, wins[w], "size", batch_size)
-                        close_batch(w, wins[w], reason)
-                    del wins[w]
+            _evict_expired(
+                out, conv_id, wins, state.getCurrentWatermarkMs(),
+                batch_size, window_s, session_mode, gap_ms, flush,
+            )
             save_and_arm()
-            if o_idx:
-                yield out_pdf()
+            if out["idx"]:
+                yield _out_pdf(out)
             return
 
         for pdf in pdf_iter:
-            # vectorized ts->ms then one python sort of tuples
-            ts_ms_arr = (
-                pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64") // 1000
+            rows = sorted(
+                zip(_ts_ms_of(pdf).tolist(), pdf["turn_idx"].tolist(),
+                    pdf["text"].tolist())
             )
-            for ts_ms, turn_idx, text in sorted(
-                zip(ts_ms_arr.tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist())
-            ):
-                turn_idx = int(turn_idx)
-                if session_mode:
-                    # find a session this row extends: [start-gap, last+gap]
-                    w = None
-                    for s in sorted(wins):
-                        e = wins[s]
-                        if s * 1000 - gap_ms <= ts_ms <= e[1] + gap_ms:
-                            w = s
-                            break
-                    if w is None:
-                        w = ts_ms // 1000
-                        wins[w] = [0, ts_ms, set(), [], [], []]
-                    e = wins[w]
-                    e[1] = max(e[1], ts_ms)
-                    # bridge-merge: absorb any later session whose interval
-                    # now overlaps ours ([start, last+gap) touching)
-                    merged = False
-                    # turns a pre-merge session has seen but no longer
-                    # buffers were already EMITTED by it — they must not
-                    # resurface from the other session's buffer post-merge
-                    emitted = e[2] - set(e[3])
-                    for s in sorted(k for k in wins if k > w):
-                        if s * 1000 < e[1] + gap_ms:
-                            o = wins.pop(s)
-                            # keep w's ordinal space; union dedup + buffers
-                            emitted |= o[2] - set(o[3])
-                            e[1] = max(e[1], o[1])
-                            e[2] |= o[2]
-                            e[3] += o[3]
-                            e[4] += o[4]
-                            e[5] += o[5]
-                            merged = True
-                        else:
-                            break
-                    if merged:
-                        # a turn buffered in BOTH pre-merge sessions (or
-                        # buffered in one and already emitted by the other)
-                        # must survive at most once: keep first unemitted
-                        # occurrence per turn_idx
-                        seen_buf: set = set(emitted)
-                        b3, b4, b5 = [], [], []
-                        for ti, tx, tm in zip(e[3], e[4], e[5]):
-                            if ti in seen_buf:
-                                continue
-                            seen_buf.add(ti)
-                            b3.append(ti)
-                            b4.append(tx)
-                            b5.append(tm)
-                        e[3], e[4], e[5] = b3, b4, b5
-                        # the merged buffer can exceed batch_size: drain now
-                        while len(e[3]) >= batch_size:
-                            close_batch(w, e, "size", batch_size)
-                else:
-                    w = (ts_ms // 1000) // window_s * window_s
-                    e = wins.get(w)
-                    if e is None:
-                        e = wins[w] = [0, ts_ms, set(), [], [], []]
-                    e[1] = max(e[1], ts_ms)
-                if turn_idx in e[2]:  # stateful dedup (D1), per window
-                    continue
-                e[2].add(turn_idx)
-                e[3].append(turn_idx)
-                e[4].append(text)
-                e[5].append(ts_ms)
-                while len(e[3]) >= batch_size:
-                    close_batch(w, e, "size", batch_size)
+            _ingest_sorted(
+                out, conv_id, wins, rows,
+                batch_size, window_s, session_mode, gap_ms,
+            )
 
         save_and_arm()
-        if o_idx:
-            yield out_pdf()
+        if out["idx"]:
+            yield _out_pdf(out)
+
+    return assemble
+
+
+# bucketed state layout: one binary blob per bucket — a pickled
+# {conv_id: wins} dict. Amortizes the per-group framework cost (state
+# get/put, Arrow framing, per-group pandas construction) over every
+# conversation in the bucket; one pickle per bucket per microbatch replaces
+# hundreds of per-conv array serializations.
+BUCKET_STATE_SCHEMA = T.StructType(
+    [T.StructField("blob", T.BinaryType(), True)]
+)
+
+
+def make_bucketed_assembler(opts: StreamOptions):
+    """Returns the hash-bucket applyInPandasWithState function: state key is
+    ``hash(conv_id) % bucket_by``; the blob holds every member conversation's
+    windows. Semantics are identical to make_assembler (same core functions,
+    same per-conv row order) — only the state partitioning differs."""
+    import pickle
+
+    batch_size = opts.batch_size
+    window_s = opts.window_s
+    flush = opts.flush_partial_on_timeout
+    session_mode = opts.mode == "session"
+    gap_ms = opts.session_gap_s * 1000
+
+    def assemble(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        convs: dict[str, dict[int, list]] = (
+            pickle.loads(state.get[0]) if state.exists else {}
+        )
+        out = _new_out()
+
+        def save_and_arm():
+            if not convs:
+                state.remove()
+                return
+            state.update((pickle.dumps(convs, protocol=5),))
+            wm = state.getCurrentWatermarkMs()
+            nxt = min(
+                _end_ms(w, e, session_mode, gap_ms, window_s)
+                for wins in convs.values()
+                for w, e in wins.items()
+            )
+            state.setTimeoutTimestamp(max(nxt, wm + 1))
+
+        if state.hasTimedOut:
+            wm = state.getCurrentWatermarkMs()
+            for cid in list(convs):
+                wins = convs[cid]
+                _evict_expired(
+                    out, cid, wins, wm,
+                    batch_size, window_s, session_mode, gap_ms, flush,
+                )
+                if not wins:
+                    del convs[cid]
+            save_and_arm()
+            if out["idx"]:
+                yield _out_pdf(out)
+            return
+
+        from itertools import groupby
+        from operator import itemgetter
+
+        for pdf in pdf_iter:
+            # one sort by (conv, ts, idx, text): within each conv this is the
+            # exact row order the per-conv assembler processes
+            rows = sorted(
+                zip(
+                    pdf["conv_id"].tolist(),
+                    _ts_ms_of(pdf).tolist(),
+                    pdf["turn_idx"].tolist(),
+                    pdf["text"].tolist(),
+                )
+            )
+            for cid, grp in groupby(rows, key=itemgetter(0)):
+                wins = convs.get(cid)
+                if wins is None:
+                    wins = convs[cid] = {}
+                _ingest_sorted(
+                    out, cid, wins, [r[1:] for r in grp],
+                    batch_size, window_s, session_mode, gap_ms,
+                )
+
+        save_and_arm()
+        if out["idx"]:
+            yield _out_pdf(out)
 
     return assemble
 
@@ -304,6 +461,20 @@ def closed_batches_stream(
     )
     turns = raw.filter(F.col("ts").isNotNull() & F.col("text").isNotNull())
     with_wm = turns.withWatermark("ts", opts.watermark)
+    if opts.bucket_by:
+        # hash-bucketed state (see StreamOptions.bucket_by): the shuffle key
+        # is the bucket, so the exchange and the state store see bucket_by
+        # keys instead of one per conversation
+        keyed = with_wm.withColumn(
+            "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(opts.bucket_by))
+        )
+        return keyed.groupBy("_bucket").applyInPandasWithState(
+            make_bucketed_assembler(opts),
+            outputStructType=BATCH_OUT_SCHEMA,
+            stateStructType=BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return with_wm.groupBy("conv_id").applyInPandasWithState(
         make_assembler(opts),
         outputStructType=BATCH_OUT_SCHEMA,

@@ -305,3 +305,53 @@ def test_run_ingestion_emits_containers_at_reference_layout(spark, tmp_path):
     assert (
         read_packet_containers(spark, str(tmp_path / "out/avro")).count() == pk_count
     )
+
+
+def test_asymmetric_header_signing_roundtrip(spark, tmp_path):
+    """W3 verdict item: signatures written by run_ingestion verify against
+    the published public key; a tampered digest fails verification."""
+    import json
+
+    from exposure_notifications_private_analytics_ingestion_spark.functions.signing import (
+        generate_signing_key_pem,
+        verify_header_signature,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.plans.ingestion import (
+        IngestionOptions,
+        run_ingestion,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns,
+        write_turns_table,
+    )
+
+    pem = generate_signing_key_pem("test-w3-key")
+    pdf = generate_turns(n_convs=8, seed=21, dup_frac=0.0)
+    inp = write_turns_table(spark, pdf, str(tmp_path / "turns"))
+    out = str(tmp_path / "out")
+    run_ingestion(
+        spark, inp, out,
+        IngestionOptions(window_start_s=1704067200, duration_s=48 * 3600,
+                         batch_size=20, signing_key_pem=pem,
+                         signing_key_id="test-w3-key-id"),
+    )
+    key_info = json.load(open(f"{out}/signing_key.json"))
+    assert key_info["key_identifier"] == "test-w3-key-id"
+    pub = key_info["public_key_der_b64"]
+    sigs = spark.read.parquet(f"{out}/signatures").toPandas()
+    heads = spark.read.parquet(f"{out}/batch_headers").toPandas()
+    joined = sigs.merge(heads, on=["batch_id", "destination"])
+    assert len(joined) == len(sigs) > 0
+    assert (joined["key_identifier"] == "test-w3-key-id").all()
+    for _, r in joined.iterrows():
+        assert verify_header_signature(
+            r["packet_file_digest"], r["batch_header_signature"], pub
+        )
+    # tampered header digest must NOT verify
+    r0 = joined.iloc[0]
+    tampered = ("0" if r0["packet_file_digest"][0] != "0" else "1") + r0[
+        "packet_file_digest"
+    ][1:]
+    assert not verify_header_signature(
+        tampered, r0["batch_header_signature"], pub
+    )

@@ -25,8 +25,9 @@ from exposure_notifications_private_analytics_ingestion_spark.streaming import (
 
 def main():
     cores = int(sys.argv[1])
-    ck_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/enpa-scaling"
-    workdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/enpa-scaling"
+    bucket_by = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    ck_root = sys.argv[3] if len(sys.argv) > 3 else "/tmp/enpa-scaling"
+    workdir = sys.argv[4] if len(sys.argv) > 4 else "/tmp/enpa-scaling"
     turns = f"{workdir}/turns"
     spark = get_spark(app_name=f"diag-{cores}", cores=cores, shuffle_partitions=64)
     warm = spark.read.parquet(turns)
@@ -43,7 +44,8 @@ def main():
         turns,
         out,
         ck,
-        StreamOptions(batch_size=5000, window_s=6 * 3600, watermark="1 hour"),
+        StreamOptions(batch_size=5000, window_s=6 * 3600, watermark="1 hour",
+                      bucket_by=bucket_by or None),
         rocksdb_state=False,
     )
     q.awaitTermination(3600)
