@@ -142,6 +142,7 @@ def ngram_jaccard_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs above ``threshold``.
 
@@ -152,7 +153,19 @@ def ngram_jaccard_pairs(
     ``minhash_lsh_pairs``): intersection counts are computed ONLY for those
     pairs — cost O(|candidates| · avg_shingles), never all-pairs. This is
     the 100 TB path; shingle computation is also pruned (semi-join) to docs
-    that appear in some candidate pair."""
+    that appear in some candidate pair.
+
+    The candidate-less form is guarded above 50k docs (pass candidates from
+    ``minhash_lsh_pairs``, or allow_quadratic=True for the exact baseline)."""
+    if candidates is None:
+        from .guards import guard_quadratic
+
+        guard_quadratic(
+            df,
+            "ngram_jaccard_pairs(candidates=None)",
+            "ngram_jaccard_pairs(candidates=minhash_lsh_pairs(...))",
+            allow_quadratic,
+        )
     if candidates is not None:
         cand = candidates.select("doc_a", "doc_b")
         ids = (

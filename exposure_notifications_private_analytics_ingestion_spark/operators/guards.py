@@ -1,0 +1,42 @@
+"""Guard rail for the labeled quadratic baselines.
+
+The brute-force operators (cosine_topk / cosine_pairs / candidate-less
+ngram_jaccard_pairs) exist as CORRECTNESS baselines for their bucketed twins
+(lsh_ann_topk, cosine_near_dup_lsh, candidate-mode jaccard). Their cost is
+O(n²): fine at oracle scale, catastrophic if someone points them at a real
+corpus. This guard makes the quadratic path impossible to hit by accident —
+above ``limit`` input rows it raises unless the caller passes
+``allow_quadratic=True``, naming the scalable twin to use instead.
+
+The guard runs ``df.count()`` — one cheap aggregate action — only when the
+flag is not set; callers on the blessed scalable paths never pay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+QUADRATIC_GUARD_LIMIT = 50_000
+
+
+class QuadraticPlanError(RuntimeError):
+    pass
+
+
+def guard_quadratic(
+    df: DataFrame,
+    op_name: str,
+    scalable_twin: str,
+    allow_quadratic: bool = False,
+    limit: int = QUADRATIC_GUARD_LIMIT,
+) -> None:
+    if allow_quadratic:
+        return
+    n = df.count()
+    if n > limit:
+        raise QuadraticPlanError(
+            f"{op_name} is an all-pairs O(n²) baseline and its input has "
+            f"{n:,} rows (> {limit:,}). Use {scalable_twin} at scale, or "
+            f"pass allow_quadratic=True if you really want the exact "
+            f"brute-force computation."
+        )

@@ -53,11 +53,21 @@ def _pair_sim() -> Column:
 
 
 def cosine_topk(
-    df: DataFrame, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
-    """Exact top-k neighbors per vector (excluding self), brute force."""
+    """Exact top-k neighbors per vector (excluding self), brute force.
+
+    Labeled O(n²) correctness baseline — guarded above 50k rows (use
+    ``lsh_ann_topk``/``ivf_topk`` at scale, or pass allow_quadratic=True)."""
     from pyspark.sql import Window
 
+    from .guards import guard_quadratic
+
+    guard_quadratic(df, "cosine_topk", "lsh_ann_topk/ivf_topk", allow_quadratic)
     prep = _prep(df, id_col, vec_col, [])
     a, b = prep.alias("a"), prep.alias("b")
     pairs = (
@@ -84,8 +94,15 @@ def cosine_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b."""
+    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
+
+    Labeled O(n²) correctness baseline — guarded above 50k rows (use
+    ``cosine_near_dup_lsh`` at scale, or pass allow_quadratic=True)."""
+    from .guards import guard_quadratic
+
+    guard_quadratic(df, "cosine_pairs", "cosine_near_dup_lsh", allow_quadratic)
     prep = _prep(df, id_col, vec_col, [])
     a, b = prep.alias("a"), prep.alias("b")
     return (

@@ -142,3 +142,42 @@ def test_chunking_scalable_covers_all_rows(spark):
     assert len(out) == 100
     assert out["batch_ordinal"].nunique() == 10
     assert out["turn_idx"].nunique() == 100
+
+
+def test_quadratic_guard_trips_and_flag_bypasses(spark):
+    """Verdict r3 #3: the all-pairs baselines cannot be hit by accident at
+    scale — above the row limit they raise unless allow_quadratic=True."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.guards import (
+        QUADRATIC_GUARD_LIMIT,
+        QuadraticPlanError,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_topk,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.operators.doc_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    big = spark.range(QUADRATIC_GUARD_LIMIT + 1).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.array(F.lit(0.5), F.lit(0.5)).alias("embedding"),
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("some text").alias("text"),
+    )
+    with pytest.raises(QuadraticPlanError, match="cosine_pairs"):
+        cosine_pairs(big)
+    with pytest.raises(QuadraticPlanError, match="cosine_topk"):
+        cosine_topk(big)
+    with pytest.raises(QuadraticPlanError, match="ngram_jaccard_pairs"):
+        ngram_jaccard_pairs(big)
+    # the explicit flag bypasses the guard (plan builds lazily, no action)
+    assert cosine_pairs(big, allow_quadratic=True).columns == [
+        "vec_a", "vec_b", "cosine",
+    ]
+    # small inputs pass without any flag (the oracle-scale path)
+    small = big.limit(10)
+    assert cosine_topk(small, k=2).count() > 0

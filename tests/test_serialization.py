@@ -355,3 +355,63 @@ def test_asymmetric_header_signing_roundtrip(spark, tmp_path):
     assert not verify_header_signature(
         tampered, r0["batch_header_signature"], pub
     )
+
+
+def test_manifest_http_fetch_and_invalid_url_contract(tmp_path):
+    """Verdict r3 #6: HTTP manifest fetch (DataProcessorManifest.java:79-112)
+    with the invalid-URL error contract (DataProcessorManifestTest.java:30-53)."""
+    import http.server
+    import json as _json
+    import threading
+
+    import pytest
+
+    from exposure_notifications_private_analytics_ingestion_spark.plans.manifest import (
+        DataProcessorManifest,
+        ManifestFetchError,
+    )
+
+    payload = {
+        "ingestion-bucket": "gs://bucket-from-http",
+        "ingestion-identity": "arn:aws:iam::1:role/r",
+        "ingestion-bucket-region": "us-east-1",
+    }
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/manifest.json":
+                body = _json.dumps(payload).encode()
+                self.send_response(200)
+            elif self.path == "/notjson":
+                body = b"<html>oops</html>"
+                self.send_response(200)
+            else:
+                body = b"nope"
+                self.send_response(404)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        m = DataProcessorManifest.load(f"http://127.0.0.1:{port}/manifest.json")
+        assert m.ingestion_bucket == "gs://bucket-from-http"
+        assert m.aws_bucket_role == "arn:aws:iam::1:role/r"
+        assert m.aws_bucket_region == "us-east-1"
+        with pytest.raises(ManifestFetchError):
+            DataProcessorManifest.load(f"http://127.0.0.1:{port}/missing.json")
+        with pytest.raises(ManifestFetchError, match="not JSON"):
+            DataProcessorManifest.load(f"http://127.0.0.1:{port}/notjson")
+    finally:
+        srv.shutdown()
+    # unreachable host / malformed URL → same contract
+    with pytest.raises(ManifestFetchError):
+        DataProcessorManifest.load("http://127.0.0.1:1/manifest.json")
+    with pytest.raises(ManifestFetchError):
+        DataProcessorManifest.load(str(tmp_path / "does-not-exist.json"))
