@@ -339,10 +339,14 @@ def run_ingestion(
         F.max("ts").alias("max_ts"),
     )
     # persist the fan-out once: headers + signatures derive from it, and
-    # without the cache each write re-executes the whole core
+    # without the cache each write re-executes the whole core. The EXPLICIT
+    # partition count pins the shuffle width — AQE coalesces a plain
+    # repartition(col) to advisory-sized partitions, which caps the parquet
+    # write + digest parallelism well below the core count on large windows.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     packets = (
         packets.withColumn("window_start_s", F.lit(opts.window_start_s))
-        .repartition("batch_id")
+        .repartition(n_part, "batch_id")
         .persist()
     )
 

@@ -252,6 +252,73 @@ def q_batch_assembly_stateful(spark, sf_dir):
     )
 
 
+def q_batch_assembly_bucketed(spark, sf_dir):
+    """Same contract as q_group_batches through the BUCKETED keyed-state core
+    (the streaming engine's scale path, StreamOptions.bucket_by): groups are
+    hash buckets of conversations and the shared _ingest_sorted/_evict
+    functions do the per-conv assembly — the DuckDB oracle doubles as an
+    equivalence proof for the bucketed state layout."""
+    from itertools import groupby
+    from operator import itemgetter
+
+    import pandas as pd
+
+    from .streaming.ingest_stream import (
+        _evict_expired,
+        _ingest_sorted,
+        _new_out,
+        _out_pdf,
+    )
+
+    turns = _events_as_turns(spark, sf_dir)
+    # one all-covering window (huge window_s) so chunking order reduces to
+    # the oracle's row_number-over-event_id; rows fed in turn_idx order
+    window_s = 1 << 40
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _new_out()
+        ts_ms = (
+            pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64") // 1000
+        )
+        rows = sorted(
+            zip(pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+                ts_ms.tolist(), pdf["text"].tolist())
+        )
+        for cid, grp in groupby(rows, key=itemgetter(0)):
+            wins: dict = {}
+            _ingest_sorted(
+                out, cid, wins,
+                [(t, i, x) for _, i, t, x in grp],
+                BATCH, window_s, False, 0,
+            )
+            _evict_expired(
+                out, cid, wins, 1 << 62, BATCH, window_s, False, 0, True
+            )
+        o = _out_pdf(out)
+        if not len(o):
+            return pd.DataFrame(
+                {"user_id": [], "batch_ordinal": [], "n_events": [],
+                 "min_event_id": [], "max_event_id": []}
+            )
+        g = o.groupby(["conv_id", "batch_ordinal"], as_index=False).agg(
+            n_events=("turn_idx", "size"),
+            min_event_id=("turn_idx", "min"),
+            max_event_id=("turn_idx", "max"),
+        )
+        g = g.rename(columns={"conv_id": "user_id"})
+        return g[["user_id", "batch_ordinal", "n_events",
+                  "min_event_id", "max_event_id"]]
+
+    bucketed = turns.withColumn(
+        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(16))
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(
+        assemble,
+        schema="user_id string, batch_ordinal int, n_events long, "
+        "min_event_id int, max_event_id int",
+    )
+
+
 def q_packet_split(spark, sf_dir):
     """X1: ×2 fan-out with fork consistency."""
     from .operators.packets import split_packets
@@ -971,6 +1038,7 @@ def registry() -> dict[str, tuple]:
         "session_windows": (q_session_windows, SQL_SESSION),
         "group_batches": (q_group_batches, SQL_GROUP_BATCHES),
         "batch_assembly_stateful": (q_batch_assembly_stateful, SQL_GROUP_BATCHES),
+        "batch_assembly_bucketed": (q_batch_assembly_bucketed, SQL_GROUP_BATCHES),
         "packet_split": (q_packet_split, SQL_PACKET_SPLIT),
         "batch_headers": (q_batch_headers, SQL_BATCH_HEADERS),
         "deletion_retention": (q_deletion_retention, SQL_DELETION),

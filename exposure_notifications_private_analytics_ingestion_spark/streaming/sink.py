@@ -15,6 +15,20 @@ Each epoch writes:
 - ``batch_headers/`` — per-(batch, destination) manifest with sha256 digest
 - ``lineage/`` — per-epoch provenance: epoch id, batch ids, row counts,
   ts bounds (the north_rule's per-partition lineage record)
+
+Plan shape (the scaling-critical part): ONE shuffle per epoch — the closed
+TURN rows are repartitioned by batch_id with an EXPLICIT partition count
+(AQE would otherwise coalesce the repartition-by-column to a handful of
+partitions and cap the downstream parquet/digest parallelism — measured as a
+flat ~25 s sink at every core count) and cached PRE-explode. The ×2
+destination fan-out is a narrow Generate on top of that cache, so the
+parquet write inherits the batch_id partitioning; the header digest
+aggregates the cached turn rows exchange-free and is computed ONCE per batch
+— both destinations of a transcript-mode packet carry the same
+(uuid, payload) bytes by construction (``_split_packets_streamed``), so the
+per-destination digests are identical and the destination column is fanned
+out AFTER the aggregation. Relative to digesting the exploded packets this
+halves the cache bytes, the digest input, and the aggregate group count.
 """
 
 from __future__ import annotations
@@ -25,18 +39,15 @@ import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+DESTINATIONS = ("pha", "facilitator")
 
 
-def _split_packets_streamed(batch_df: DataFrame) -> DataFrame:
-    """X1 fan-out over closed-batch rows (columns per BATCH_OUT_SCHEMA)."""
-    exploded = batch_df.select(
-        "*", F.posexplode(F.array(F.lit(0), F.lit(1))).alias("_pos", "_i")
-    )
-    dest = F.when(F.col("_pos") == 0, F.lit("pha")).otherwise(F.lit("facilitator"))
-    return exploded.select(
+def _closed_turns(batch_df: DataFrame) -> DataFrame:
+    """One row per closed turn, with the packet uuid and payload bytes —
+    the pre-explode form both the packet write and the header digest share."""
+    return batch_df.select(
         "batch_id",
-        dest.alias("destination"),
         F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("uuid"),
         F.encode("text", "UTF-8").alias("encrypted_payload"),
         "conv_id",
@@ -48,18 +59,42 @@ def _split_packets_streamed(batch_df: DataFrame) -> DataFrame:
     )
 
 
-def _headers(packets: DataFrame) -> DataFrame:
-    return (
-        packets.select(
+def _split_packets_streamed(closed: DataFrame) -> DataFrame:
+    """X1 fan-out over closed turn rows: narrow Generate, preserves the
+    batch_id partitioning of its input."""
+    exploded = closed.select(
+        "*", F.posexplode(F.array(F.lit(0), F.lit(1))).alias("_pos", "_i")
+    )
+    dest = F.when(F.col("_pos") == 0, F.lit(DESTINATIONS[0])).otherwise(
+        F.lit(DESTINATIONS[1])
+    )
+    cols = [c for c in closed.columns if c not in ("_pos", "_i")]
+    front = ["batch_id", "uuid", "encrypted_payload"]
+    rest = [c for c in cols if c not in front]
+    return exploded.select(
+        "batch_id",
+        dest.alias("destination"),
+        "uuid",
+        "encrypted_payload",
+        *rest,
+    )
+
+
+def _headers(closed: DataFrame) -> DataFrame:
+    """Per-(batch, destination) manifest. Digest = sha256 over
+    ``uuid:hex(payload)`` sorted — computed once per batch over the TURN
+    rows (both destinations carry identical bytes in transcript mode), then
+    fanned out per destination. Exchange-free on batch_id partitioning."""
+    per_batch = (
+        closed.select(
             "batch_id",
-            "destination",
             "conv_id",
             "window_start_s",
             "uuid",
             F.hex("encrypted_payload").alias("ph"),
             "ts_ms",
         )
-        .groupBy("batch_id", "destination")
+        .groupBy("batch_id")
         .agg(
             F.first("conv_id").alias("name"),
             F.first("window_start_s").alias("batch_start_time"),
@@ -78,6 +113,19 @@ def _headers(packets: DataFrame) -> DataFrame:
             ).alias("packet_file_digest"),
         )
     )
+    dest = F.explode(
+        F.array(*[F.lit(d) for d in DESTINATIONS])
+    ).alias("destination")
+    return per_batch.select(
+        "batch_id",
+        dest,
+        "name",
+        "batch_start_time",
+        "n_packets",
+        "min_ts_ms",
+        "max_ts_ms",
+        "packet_file_digest",
+    )
 
 
 def make_epoch_sink(output_root: str):
@@ -85,37 +133,40 @@ def make_epoch_sink(output_root: str):
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # one explode, one shuffle: packets land partitioned by batch_id and
-        # STAY that way — the header aggregation groups on
-        # (batch_id, destination), whose clustering is satisfied by the
-        # batch_id hash partitioning (subset rule), so it runs exchange-free
-        # over the cached partitions.
         # NOTE: no isEmpty() pre-check — in foreachBatch EVERY action on
         # batch_df re-executes the stateful microbatch plan, so an emptiness
         # probe would run the whole assembler once just to answer a boolean
         # (measured: ~2× epoch cost). Persist first, count the cache instead.
-        packets = (
-            _split_packets_streamed(batch_df)
-            .withColumn("epoch", F.lit(epoch_id))
-            .repartition("batch_id")
+        # The EXPLICIT partition count pins the shuffle width (AQE coalesces
+        # a repartition-by-column, capping downstream parallelism).
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        closed = (
+            _closed_turns(batch_df)
+            .repartition(n_part, "batch_id")
             .persist()
         )
-        if packets.count() == 0:
-            packets.unpersist()
+        if closed.count() == 0:
+            closed.unpersist()
             return
+        # exactly-once via DIRECT epoch-directory overwrite: the write targets
+        # .../packets/epoch=<id> itself, so a retried epoch replaces exactly
+        # its own subtree with the plain (non-dynamic) committer — no
+        # staging-and-move pass over the whole table, no driver-side serial
+        # file shuffling across epochs. Readers see the identical hive layout
+        # (epoch=<id>/destination=<d>) via partition discovery.
         (
-            packets.write.mode("overwrite")
-            .partitionBy("epoch", "destination")
-            .parquet(f"{output_root}/packets")
+            _split_packets_streamed(closed)
+            .write.mode("overwrite")
+            .partitionBy("destination")
+            .parquet(f"{output_root}/packets/epoch={epoch_id}")
         )
-        headers = _headers(packets).withColumn("epoch", F.lit(epoch_id))
-        headers.write.mode("overwrite").partitionBy("epoch").parquet(
-            f"{output_root}/batch_headers"
+        headers = _headers(closed)
+        headers.write.mode("overwrite").parquet(
+            f"{output_root}/batch_headers/epoch={epoch_id}"
         )
         # lineage: one JSON record per epoch (atomic rename for idempotence);
-        # derived from the pha fork so each turn counts once
-        stats = packets.filter(F.col("destination") == "pha").agg(
+        # turn-level rows, so each turn counts once
+        stats = closed.agg(
             F.count("*").alias("n_rows"),
             F.approx_count_distinct("batch_id").alias("n_batches"),
             F.min("ts_ms").alias("min_ts_ms"),
@@ -136,6 +187,6 @@ def make_epoch_sink(output_root: str):
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, f"{output_root}/lineage/epoch-{epoch_id}.json")
-        packets.unpersist()
+        closed.unpersist()
 
     return sink

@@ -7,7 +7,12 @@ progress events (time from trigger start to sink commit for each epoch that
 closed batches) — the driver-facing definition of "how long after its window
 can a batch be read downstream".
 
-Usage: python tools/stream_soak.py [n_convs_per_wave] [n_waves]
+Usage: python tools/stream_soak.py [n_convs_per_wave] [n_waves] [cores] [bucket_by] [p95_budget_ms]
+
+With a p95 budget the tool is a REGRESSION GATE: exit code 1 when the
+measured batch-close p95 exceeds the budget. The documented budget at 32
+cores / 4k-conv waves / bucket_by=256 is 6000 ms (measured ~2-4s with the
+bucketed assembler; the bound leaves ~2x headroom for host noise).
 """
 
 from __future__ import annotations
@@ -24,6 +29,9 @@ sys.path.insert(0, "/root/repo")
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    bucket_by = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    p95_budget = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
         TURNS_SCHEMA,
@@ -38,7 +46,8 @@ def main():
         start_stream_ingestion,
     )
 
-    spark = get_spark(app_name="soak", cores=32, shuffle_partitions=64)
+    spark = get_spark(app_name="soak", cores=cores, shuffle_partitions=32,
+                  extra_conf={"spark.sql.streaming.maxBatchesToRetainInMemory": "1"})
     ml = MetricsListener()
     spark.streams.addListener(ml)
 
@@ -65,7 +74,8 @@ def main():
         inp,
         f"{root}/out",
         f"{root}/ck",
-        StreamOptions(batch_size=1000, window_s=3600, watermark="30 minutes"),
+        StreamOptions(batch_size=1000, window_s=3600, watermark="30 minutes",
+                      bucket_by=bucket_by or None),
         available_now=False,
         rocksdb_state=False,
     )
@@ -106,8 +116,15 @@ def main():
         "batch_close_p95_ms": p95,
         "max_state_rows": max((r["state_rows"] for r in ml.progress), default=0),
     }
+    out["cores"] = cores
+    out["bucket_by"] = bucket_by
+    out["p95_budget_ms"] = p95_budget
     print(json.dumps(out))
     shutil.rmtree(root, ignore_errors=True)
+    if p95_budget is not None and p95 is not None and p95 > p95_budget:
+        print(f"REGRESSION: batch-close p95 {p95} ms > budget {p95_budget} ms",
+              file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,47 @@ CONFIGS = {
     "unsafe_off": {
         "conf": {"spark.sql.streaming.stateStore.formatValidation.enabled": "false"}
     },
+    "combo": {
+        "bucket_by": 2048, "shuffle": 32,
+        "conf": {"spark.sql.streaming.maxBatchesToRetainInMemory": "1"},
+    },
+    "combo16": {
+        "bucket_by": 2048, "shuffle": 16,
+        "conf": {"spark.sql.streaming.maxBatchesToRetainInMemory": "1"},
+    },
+    "combo1024": {
+        "bucket_by": 1024, "shuffle": 32,
+        "conf": {"spark.sql.streaming.maxBatchesToRetainInMemory": "1"},
+    },
+    # storage-isolated: sink output + checkpoint on tmpfs (each executor of a
+    # real 4x cluster brings its own disks); input stays on the data disk
+    "combo1024_tmpfs": {
+        "bucket_by": 1024, "shuffle": 32, "out_root": "/dev/shm/enpa-sweep",
+        "conf": {"spark.sql.streaming.maxBatchesToRetainInMemory": "1"},
+    },
+    "combo1024_noop": {
+        "bucket_by": 1024, "shuffle": 32, "noop_sink": True,
+        "conf": {"spark.sql.streaming.maxBatchesToRetainInMemory": "1"},
+    },
+    "combo1024_zstd": {
+        "bucket_by": 1024, "shuffle": 32,
+        "conf": {"spark.sql.streaming.maxBatchesToRetainInMemory": "1",
+                 "spark.sql.parquet.compression.codec": "zstd"},
+    },
 }
+
+
+def _noop_sink_factory(output_root):
+    from pyspark.sql import functions as F
+
+    def sink(batch_df, epoch_id):
+        spark = batch_df.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        closed = batch_df.repartition(n_part, "batch_id").persist()
+        closed.count()
+        closed.unpersist()
+
+    return sink
 
 
 def gc_ms(spark):
@@ -55,6 +95,10 @@ def main():
     name = sys.argv[1]
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     cfg = CONFIGS[name]
+    if cfg.get("noop_sink"):
+        import exposure_notifications_private_analytics_ingestion_spark.streaming.sink as _sm
+        import exposure_notifications_private_analytics_ingestion_spark.streaming.ingest_stream  # noqa
+        _sm.make_epoch_sink = _noop_sink_factory
     spark = get_spark(
         app_name=f"sweep-{name}",
         cores=cores,
@@ -65,7 +109,10 @@ def main():
     warm = spark.read.parquet(turns)
     warm.write.format("noop").mode("overwrite").save()
     n = warm.count()
-    out, ck = f"{WORKDIR}/sw-out-{name}", f"{WORKDIR}/sw-ck-{name}"
+    root = cfg.get("out_root", WORKDIR)
+    import os as _os
+    _os.makedirs(root, exist_ok=True)
+    out, ck = f"{root}/sw-out-{name}-{cores}", f"{root}/sw-ck-{name}-{cores}"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     g0 = gc_ms(spark)
