@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--emit-avro-containers", action="store_true",
                     help="also write one Avro object-container file per "
                          "(batch, destination) at the reference path layout")
+    pi.add_argument("--signing-key-pem", default=None,
+                    help="PEM file: sign batch headers with ECDSA P-256 "
+                         "(W3, asymmetricSign contract) and publish the "
+                         "public key to signing_key.json")
 
     ps = sub.add_parser("stream", help="continuous streaming ingestion")
     ps.add_argument("--input", required=True)
@@ -52,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--batch-size", type=int, default=100_000)
     ps.add_argument("--window", type=int, default=3600)
     ps.add_argument("--watermark", default="1 hour")
+    ps.add_argument("--mode", choices=["tumbling", "session"], default="tumbling")
+    ps.add_argument("--session-gap", type=int, default=1800,
+                    help="session-mode inactivity gap, seconds")
+    ps.add_argument("--bucket-by", type=int, default=None,
+                    help="hash-bucketed state: key the stateful assembler by "
+                         "hash(conv_id) %% N instead of raw conv_id (~5x "
+                         "throughput at many small conversations; identical "
+                         "output). Size it ~n_active_convs/200.")
     ps.add_argument("--continuous", action="store_true",
                     help="keep running (default: availableNow then exit)")
 
@@ -66,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "ingest":
         start = calculate_window_start(args.window_start, args.duration, now)
+        signing_pem = None
+        if args.signing_key_pem:
+            with open(args.signing_key_pem, "rb") as f:
+                signing_pem = f.read()
         opts = IngestionOptions(
             window_start_s=start,
             duration_s=args.duration,
@@ -73,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
             attestation=args.attestation,
             scalable_chunking=args.scalable_chunking,
             emit_avro_containers=args.emit_avro_containers,
+            signing_key_pem=signing_pem,
         )
         stats = run_ingestion(spark, args.input, args.output, opts)
         print(json.dumps({"window_start": start, "invalid_counters": stats}))
@@ -86,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
                 batch_size=args.batch_size,
                 window_s=args.window,
                 watermark=args.watermark,
+                mode=args.mode,
+                session_gap_s=args.session_gap,
+                bucket_by=args.bucket_by,
             ),
             available_now=not args.continuous,
         )

@@ -10,9 +10,12 @@ can a batch be read downstream".
 Usage: python tools/stream_soak.py [n_convs_per_wave] [n_waves] [cores] [bucket_by] [p95_budget_ms]
 
 With a p95 budget the tool is a REGRESSION GATE: exit code 1 when the
-measured batch-close p95 exceeds the budget. The documented budget at 32
-cores / 4k-conv waves / bucket_by=256 is 6000 ms (measured ~2-4s with the
-bucketed assembler; the bound leaves ~2x headroom for host noise).
+measured batch-close p95 exceeds the budget. Documented budgets at 4k-conv
+waves / bucket_by=256: 6000 ms at 32 cores (measured p95 ~3.9 s over 23
+data epochs), 9000 ms at 8 cores (measured ~7.6 s) — ~1.5-2x headroom for
+host noise. Use ≥~25 waves: with fewer data epochs the p95 index collapses
+onto the max, i.e. the one JIT-warm-up epoch, which a long-running stream
+never re-pays.
 """
 
 from __future__ import annotations
