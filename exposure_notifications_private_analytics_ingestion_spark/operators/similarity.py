@@ -117,31 +117,88 @@ def cosine_pairs(
     )
 
 
+def cluster_centroid_sums(
+    prep: DataFrame, cluster_col: str = "label"
+) -> DataFrame:
+    """Per-cluster element-wise SUM of the quantized vectors (NOT the mean:
+    the sum is an exact int64 vector, and argmax over dot(q, sum/|c|) ==
+    argmax over dot(q, sum) within a fixed cluster only — across clusters
+    the ranking differs, which makes this a sum-of-members inner-product
+    coarse quantizer: deterministic, exact, and oracle-reproducible. A
+    float-mean centroid would put engine-dependent rounding inside the
+    probe ranking). One posexplode + two hash-aggs; centroid cardinality =
+    n_clusters, tiny → broadcast at the probe join."""
+    return (
+        prep.select(cluster_col, F.posexplode("qv").alias("pos", "v"))
+        .groupBy(cluster_col, "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy(cluster_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st["s"],
+            ).alias("cv")
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) top-k: candidates restricted to the query's coarse
-    cluster. Join keys on the cluster id → shuffle co-locates clusters."""
+    """IVF top-k: candidates restricted to the query's ``nprobe`` best
+    coarse clusters. nprobe=1 keys on the query's OWN cluster column (the
+    original fast path — no centroid pass at all). nprobe>1 ranks clusters
+    per query by exact-integer dot(query, centroid_sum) (ties → label asc),
+    probes the top ``nprobe``, and searches only those clusters — the
+    recall/cost dial every IVF index exposes. The candidate join still keys
+    on the cluster id, so the pair space is Σ(probed cluster sizes), never
+    all-pairs; centroids are broadcast (n_clusters rows)."""
     from pyspark.sql import Window
 
     prep = _prep(df, id_col, vec_col, [cluster_col])
     a, b = prep.alias("a"), prep.alias("b")
-    pairs = (
-        a.join(
+    if nprobe <= 1:
+        pairs = a.join(
             b,
             (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
             & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
-        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
-        .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            _pair_sim().alias("cosine"),
+    else:
+        cent = cluster_centroid_sums(prep, cluster_col)
+        cw = Window.partitionBy(f"a.{id_col}").orderBy(
+            F.col("cdot").desc(), F.col(f"c.{cluster_col}").asc()
         )
+        probes = (
+            a.crossJoin(F.broadcast(cent.alias("c")))
+            .withColumn("cdot", _qdot(F.col("a.qv"), F.col("c.cv")))
+            .withColumn("crank", F.row_number().over(cw))
+            .filter(F.col("crank") <= nprobe)
+            .select(
+                F.col(f"a.{id_col}"),
+                F.col("a.qv"),
+                F.col("a.qn"),
+                F.col(f"c.{cluster_col}").alias("_probe"),
+            )
+            .alias("a")
+        )
+        # each vector lives in exactly one cluster and probes are distinct
+        # labels per query, so no pair can appear twice
+        pairs = probes.join(
+            b,
+            (F.col("a._probe") == F.col(f"b.{cluster_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+    pairs = pairs.withColumn(
+        "qdot", _qdot(F.col("a.qv"), F.col("b.qv"))
+    ).select(
+        F.col(f"a.{id_col}").alias("query_id"),
+        F.col(f"b.{id_col}").alias("neighbor_id"),
+        _pair_sim().alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

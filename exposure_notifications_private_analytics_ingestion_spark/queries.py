@@ -687,6 +687,60 @@ SELECT ngram, doc_freq, rank::INT AS rank FROM r WHERE rank <= 20
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling: thin the dominant language,
+    half the second, keep the rare tail — the shuffle-free filter shape a
+    corpus-rebalancing pass uses at 100 TB."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.25, "zh": 0.5},
+        "doc_id",
+        default_fraction=1.0,
+        salt="s1",
+    ).select("doc_id", "lang", "source")
+
+
+_M = 16**6  # operators.sampling.SAMPLE_BUCKETS
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH b AS (SELECT doc_id, lang, source,
+                  ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 6))::BIGINT
+                      AS bkt
+           FROM documents)
+SELECT doc_id, lang, source FROM b
+WHERE bkt < CASE lang WHEN 'en' THEN {int(0.25 * _M)}
+                      WHEN 'zh' THEN {int(0.5 * _M)}
+                      ELSE {_M} END
+"""
+
+
+def q_sample_n_per_lang(spark, sf_dir):
+    """Deterministic reservoir: exactly min(50, |lang|) docs per language,
+    chosen by hash order (WindowGroupLimit plan — per-partition top-n
+    before the exchange)."""
+    from .operators.sampling import sample_n_per_stratum
+
+    return sample_n_per_stratum(
+        _read(spark, sf_dir, "documents"), "lang", 50, "doc_id", salt="s2"
+    ).select("doc_id", "lang")
+
+
+SQL_SAMPLE_N_PER_LANG = """
+WITH b AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5('s2' || doc_id::VARCHAR), 1, 6))::BIGINT
+                      AS bkt
+           FROM documents),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY bkt ASC, doc_id ASC) AS rn
+      FROM b)
+SELECT doc_id, lang FROM r WHERE rn <= 50
+"""
+
+
 def q_corpus_stats_by_lang(spark, sf_dir):
     from .operators.text_analysis import corpus_stats_by_lang
 
@@ -969,6 +1023,39 @@ SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
 """
 
 
+def q_ivf_topk_nprobe2(spark, sf_dir):
+    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=3, nprobe=2)
+
+
+# centroid = per-cluster element-wise SUM of quantized vectors (exact int64,
+# matching operators.similarity.cluster_centroid_sums); probe ranking by
+# integer dot(query, centroid_sum) with label-asc tie-break is therefore
+# bit-identical across engines
+_CENT_SUM_SQL = "[" + ", ".join(
+    f"SUM(qv[{i}])::BIGINT" for i in range(1, 65)
+) + "]"
+
+SQL_IVF_TOPK_NPROBE2 = f"""
+{_Q_PREP_SQL},
+cent AS (SELECT label, {_CENT_SUM_SQL} AS cv FROM n GROUP BY label),
+pr AS (SELECT a.vec_id AS query_id, c.label AS plabel,
+              row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                list_sum(list_transform(range(1, 65),
+                    i -> a.qv[i] * c.cv[i]))::BIGINT DESC,
+                c.label ASC) AS crank
+       FROM n a CROSS JOIN cent c),
+probes AS (SELECT query_id, plabel FROM pr WHERE crank <= 2),
+p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             {_PAIR_SIM_SQL} AS cosine
+      FROM n a
+      JOIN probes pb ON pb.query_id = a.vec_id
+      JOIN n b ON b.label = pb.plabel AND a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM p)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), k=3, dims=64, planes=8)
 
@@ -1055,6 +1142,8 @@ def registry() -> dict[str, tuple]:
         "lang_id": (q_lang_id, _sql_lang_id()),
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "ngram_doc_frequency": (q_ngram_doc_frequency, SQL_NGRAM_DOC_FREQ),
+        "stratified_sample_docs": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "sample_n_per_lang": (q_sample_n_per_lang, SQL_SAMPLE_N_PER_LANG),
         "corpus_stats_by_lang": (q_corpus_stats_by_lang, _sql_corpus_stats()),
         "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
         "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
@@ -1069,6 +1158,7 @@ def registry() -> dict[str, tuple]:
         "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
         "cosine_near_dup_pairs": (q_cosine_near_dup, SQL_COSINE_PAIRS),
         "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+        "ivf_topk_nprobe2": (q_ivf_topk_nprobe2, SQL_IVF_TOPK_NPROBE2),
         "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
         "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, SQL_COSINE_PAIRS_LSH),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),

@@ -181,3 +181,31 @@ def test_quadratic_guard_trips_and_flag_bypasses(spark):
     # small inputs pass without any flag (the oracle-scale path)
     small = big.limit(10)
     assert cosine_topk(small, k=2).count() > 0
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """IVF recall dial: probing 2 clusters must recover neighbors at least
+    as close as probing 1, and with all clusters probed the result equals
+    the exact brute-force top-k. Deterministic embeddings from sf0.001."""
+    from pyspark.sql import functions as F
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+
+    def mean_best(df):
+        return df.filter("rank = 1").agg(F.avg("cosine")).first()[0]
+
+    m1 = mean_best(ivf_topk(emb, k=3, nprobe=1))
+    m2 = mean_best(ivf_topk(emb, k=3, nprobe=2))
+    assert m2 >= m1  # more probes can only improve the best neighbor
+    # nprobe = n_clusters == exhaustive search == brute force
+    exact = cosine_topk(emb, k=3).orderBy("query_id", "rank")
+    full = ivf_topk(emb, k=3, nprobe=n_labels).orderBy("query_id", "rank")
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
