@@ -238,3 +238,71 @@ def near_dup_verified_pairs(
     return ngram_jaccard_pairs(
         df, n=n, threshold=threshold, text=text, id_col=id_col, candidates=cands
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    span_words: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-span removal — the within/cross-document analog of
+    exact-substring dedup (boilerplate, mirrored passages), at fixed
+    ``span_words``-word granularity: split each document into disjoint
+    word-chunks, keep only the corpus-wide FIRST occurrence of each chunk's
+    text (first = lowest (doc_id, span_idx)), and reassemble the surviving
+    chunks in order. Returns (doc_id, clean_text, n_spans, n_dropped).
+
+    Plan shape at scale: one narrow chunking projection (no shuffle), one
+    exchange on the span hash for the first-occurrence window, one exchange
+    back on doc_id for reassembly — all hash-partitioned narrow rows, never
+    all-pairs, never a full-corpus sort. (The reference engine has no corpus
+    operators; this extends the dedup suite the same way minhash/simhash
+    do.)"""
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text), " ")
+    n_spans = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ws, i * span_words + 1, span_words)
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy(
+        F.col(id_col).asc(), F.col("span_idx").asc()
+    )
+    marked = chunks.withColumn(
+        "keep", F.row_number().over(w) == 1
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.filter(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("span_idx", "keep", "span")
+                                )
+                            ),
+                            lambda st: F.when(st["keep"], st["span"]),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.count("*").cast("int").alias("n_spans"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )

@@ -741,6 +741,37 @@ SELECT doc_id, lang FROM r WHERE rn <= 50
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact repeated-span removal (the exact-substring-dedup analog at
+    10-word granularity): corpus-wide first occurrence survives, documents
+    reassembled from their surviving spans."""
+    from .operators.doc_dedup import span_dedup
+
+    return span_dedup(_read(spark, sf_dir, "documents"), span_words=10)
+
+
+SQL_SPAN_DEDUP = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id,
+             unnest(list_transform(
+                 range(0, cast(ceil(len(ws) / 10.0) AS BIGINT)),
+                 i -> struct_pack(span_idx := i,
+                                  span := array_to_string(
+                                      ws[i*10+1 : i*10+10], ' ')))) AS u
+      FROM d),
+c2 AS (SELECT doc_id, u.span_idx AS span_idx, u.span AS span FROM c),
+m AS (SELECT *, row_number() OVER (PARTITION BY span
+                                   ORDER BY doc_id, span_idx) = 1 AS keep
+      FROM c2)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN span END,
+                           ' ' ORDER BY span_idx), '') AS clean_text,
+       count(*)::INT AS n_spans,
+       sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::INT AS n_dropped
+FROM m GROUP BY doc_id
+"""
+
+
 def q_corpus_stats_by_lang(spark, sf_dir):
     from .operators.text_analysis import corpus_stats_by_lang
 
@@ -1147,6 +1178,7 @@ def registry() -> dict[str, tuple]:
         "corpus_stats_by_lang": (q_corpus_stats_by_lang, _sql_corpus_stats()),
         "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
         "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
+        "span_dedup_docs": (q_span_dedup, SQL_SPAN_DEDUP),
         "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
         "simhash_docs": (q_simhash, _sql_simhash()),
         "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -183,6 +183,33 @@ def test_quadratic_guard_trips_and_flag_bypasses(spark):
     assert cosine_topk(small, k=2).count() > 0
 
 
+def test_span_dedup_semantics(spark):
+    """First occurrence survives, later copies of the same 10-word span are
+    stripped; an exact duplicate document reduces to empty text."""
+    from exposure_notifications_private_analytics_ingestion_spark.operators.doc_dedup import (
+        span_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word span
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_c = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {boiler}"),      # first: keeps everything
+            (2, f"{boiler} {uniq_c}"),      # boilerplate span stripped
+            (3, f"{uniq_a} {boiler}"),      # exact dup of doc 1: all stripped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=10).collect()}
+    assert out[1]["clean_text"] == f"{uniq_a} {boiler}"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == uniq_c
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_dropped"] == 2 and out[3]["n_spans"] == 2
+
+
 def test_ivf_nprobe_recall_monotone(spark):
     """IVF recall dial: probing 2 clusters must recover neighbors at least
     as close as probing 1, and with all clusters probed the result equals
