@@ -1143,6 +1143,202 @@ FROM documents
 """
 
 
+# ------------------------------------------------------- temporal joins
+
+def _signup_split(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_event_id"), "ts"
+    )
+    return left, right
+
+
+def _asof_project(j):
+    return j.select(
+        "event_id",
+        "user_id",
+        _ms().alias("ts_ms"),
+        "signup_event_id",
+        (F.expr("unix_micros(ts) div 1000") - F.col("_asof_ts_ms")).alias(
+            "ms_since_signup"
+        ),
+    )
+
+
+def q_asof_join_signup(spark, sf_dir):
+    """As-of join (union-merge, one exchange): each non-signup event gets the
+    user's latest signup at-or-before its timestamp; NULL when none."""
+    from .operators.temporal_join import asof_join
+
+    left, right = _signup_split(spark, sf_dir)
+    return _asof_project(
+        asof_join(left, right, on=["user_id"], right_cols=["signup_event_id"])
+    )
+
+
+# DuckDB ties ASOF matches to the greatest right ts <= left ts; rows sharing
+# (user_id, ts) are pre-reduced to max(event_id) in BOTH engines so the
+# representative is deterministic.
+_SQL_ASOF_BASE = """
+WITH r AS (SELECT user_id, ts, max(event_id) AS signup_event_id
+           FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+     l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) // 1000 AS ts_ms,
+       r.signup_event_id,
+       epoch_us(l.ts) // 1000 - epoch_us(r.ts) // 1000 AS ms_since_signup
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+SQL_ASOF_SIGNUP = _SQL_ASOF_BASE
+
+_ASOF_TOL_MS = 7 * 86400 * 1000
+
+
+def q_asof_join_tolerance(spark, sf_dir):
+    """As-of with a 7-day tolerance: matches older than the tolerance are
+    voided to NULL (pandas merge_asof(tolerance=...) semantics)."""
+    from .operators.temporal_join import asof_join
+
+    left, right = _signup_split(spark, sf_dir)
+    return _asof_project(
+        asof_join(
+            left,
+            right,
+            on=["user_id"],
+            right_cols=["signup_event_id"],
+            tolerance_ms=_ASOF_TOL_MS,
+        )
+    )
+
+
+SQL_ASOF_TOLERANCE = f"""
+WITH base AS ({_SQL_ASOF_BASE})
+SELECT event_id, user_id, ts_ms,
+       CASE WHEN ms_since_signup <= {_ASOF_TOL_MS} THEN signup_event_id END
+         AS signup_event_id,
+       CASE WHEN ms_since_signup <= {_ASOF_TOL_MS} THEN ms_since_signup END
+         AS ms_since_signup
+FROM base
+"""
+
+_INCIDENT_VALUE = 250
+_INCIDENT_WIN_MS = 1800 * 1000
+
+
+def q_interval_join_incidents(spark, sf_dir):
+    """Keyless interval join via time-bin bucketing (no BNLJ): purchases
+    falling inside any half-open 30-min incident window opened by a
+    high-value error event."""
+    from .operators.temporal_join import interval_join_binned
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    incidents = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > _INCIDENT_VALUE)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        _ms().alias("start_ms"),
+        (_ms() + F.lit(_INCIDENT_WIN_MS)).alias("end_ms"),
+    )
+    j = interval_join_binned(purchases, incidents, bin_s=_INCIDENT_WIN_MS // 1000)
+    return j.select(
+        "event_id",
+        "incident_id",
+        _ms().alias("ts_ms"),
+        "start_ms",
+        (F.expr("unix_micros(ts) div 1000") - F.col("start_ms")).alias("lag_ms"),
+    )
+
+
+SQL_INTERVAL_INCIDENTS = f"""
+WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+     i AS (SELECT event_id AS incident_id, epoch_us(ts) // 1000 AS start_ms,
+                  epoch_us(ts) // 1000 + {_INCIDENT_WIN_MS} AS end_ms
+           FROM events WHERE event_type = 'error' AND value > {_INCIDENT_VALUE})
+SELECT p.event_id, i.incident_id, epoch_us(p.ts) // 1000 AS ts_ms, i.start_ms,
+       epoch_us(p.ts) // 1000 - i.start_ms AS lag_ms
+FROM p, i
+WHERE epoch_us(p.ts) // 1000 >= i.start_ms AND epoch_us(p.ts) // 1000 < i.end_ms
+"""
+
+
+# ------------------------------------------------- OLAP shape completions
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: Catalyst plans a broadcast/shuffled hash anti — never a
+    NOT IN subquery materialization."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_event_type_rollup(spark, sf_dir):
+    """ROLLUP with subtotals + grand total; value summed as exact integer
+    cents so both engines agree bit-for-bit."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.expr("CAST(floor(value * 100) AS BIGINT)")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        ev.select(F.col("event_type"), day.alias("day"), cents.alias("cents"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+SQL_EVENT_TYPE_ROLLUP = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY ROLLUP (event_type, day)
+"""
+
+
+def q_running_user_value(spark, sf_dir):
+    """Per-user running totals (cumulative window, fully ordered by
+    (ts, event_id) so ties are deterministic)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.expr("CAST(floor(value * 100) AS BIGINT)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        _ms().alias("ts_ms"),
+        F.count("*").over(w).alias("running_n"),
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+SQL_RUNNING_USER_VALUE = """
+SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
+       count(*) OVER w AS running_n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS running_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------- registry
 
 def registry() -> dict[str, tuple]:
@@ -1194,6 +1390,18 @@ def registry() -> dict[str, tuple]:
         "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
         "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, SQL_COSINE_PAIRS_LSH),
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+        "asof_join_signup": (q_asof_join_signup, SQL_ASOF_SIGNUP),
+        "asof_join_tolerance": (q_asof_join_tolerance, SQL_ASOF_TOLERANCE),
+        "interval_join_incidents": (
+            q_interval_join_incidents,
+            SQL_INTERVAL_INCIDENTS,
+        ),
+        "customers_without_orders": (
+            q_customers_without_orders,
+            SQL_CUSTOMERS_NO_ORDERS,
+        ),
+        "event_type_rollup": (q_event_type_rollup, SQL_EVENT_TYPE_ROLLUP),
+        "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
     }
 
 

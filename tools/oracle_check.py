@@ -29,7 +29,10 @@ def norm_hash(pdf: pd.DataFrame) -> tuple[int, str, str]:
             pdf[c] = col.map(lambda b: b.hex() if isinstance(b, (bytes, bytearray)) else None)
         elif str(col.dtype).startswith("float"):
             pdf[c] = col.round(6)
-    rows = pdf.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values()
+    if len(pdf):
+        rows = pdf.astype(str).apply(lambda r: "\x1f".join(r), axis=1).sort_values()
+    else:
+        rows = pd.Series([], dtype=str)
     h = hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
     schema = ",".join(f"{c}:{pdf[c].dtype}" for c in sorted(pdf.columns))
     return len(pdf), schema, h
