@@ -1267,6 +1267,48 @@ WHERE epoch_us(p.ts) // 1000 >= i.start_ms AND epoch_us(p.ts) // 1000 < i.end_ms
 """
 
 
+_BOUND_S = 7 * 86400
+
+
+def q_time_bounded_join(spark, sf_dir):
+    """Batch twin of streaming/joins.time_bounded_stream_join (same
+    function, same condition): every signup seen at-or-before the event and
+    no older than 7 days. The streaming tests assert stream == batch on the
+    same rows, so this oracle gates the join logic for both."""
+    from .streaming.joins import time_bounded_stream_join
+
+    ev = _read(spark, sf_dir, "events")
+    turns = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", F.col("user_id").alias("conv_id"), "ts"
+    )
+    facts = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("fact_ts"),
+    )
+    j = time_bounded_stream_join(turns, facts, bound_s=_BOUND_S)
+    return j.select(
+        "event_id",
+        F.col("conv_id").alias("user_id"),
+        _ms().alias("ts_ms"),
+        "signup_event_id",
+        (
+            F.expr("unix_micros(ts) div 1000") - F.expr("unix_micros(fact_ts) div 1000")
+        ).alias("ms_since_signup"),
+    )
+
+
+SQL_TIME_BOUNDED_JOIN = f"""
+SELECT l.event_id, l.user_id, epoch_us(l.ts) // 1000 AS ts_ms,
+       r.event_id AS signup_event_id,
+       epoch_us(l.ts) // 1000 - epoch_us(r.ts) // 1000 AS ms_since_signup
+FROM events l JOIN events r
+  ON r.user_id = l.user_id AND r.event_type = 'signup'
+ AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL {_BOUND_S} SECONDS
+WHERE l.event_type <> 'signup'
+"""
+
+
 # ------------------------------------------------- OLAP shape completions
 
 def q_customers_without_orders(spark, sf_dir):
@@ -1402,6 +1444,7 @@ def registry() -> dict[str, tuple]:
         ),
         "event_type_rollup": (q_event_type_rollup, SQL_EVENT_TYPE_ROLLUP),
         "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
+        "time_bounded_join": (q_time_bounded_join, SQL_TIME_BOUNDED_JOIN),
     }
 
 
