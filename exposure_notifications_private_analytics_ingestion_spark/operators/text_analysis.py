@@ -136,6 +136,51 @@ def ngram_doc_frequency(
     )
 
 
+def repetition_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters):
+    duplicate-word fraction, most-frequent-word mass, duplicate-bigram
+    fraction. High values flag boilerplate / spam / degenerate generations.
+
+    One explode over words+bigrams tagged by gram order, then two hash-aggs
+    keyed by doc — partial aggregation makes the first agg map-side-heavy, so
+    cost is O(tokens) with doc-sized groups regardless of document length
+    (an ``array_distinct`` formulation would be O(len·distinct) per ROW and
+    die on 100 KB documents; this one does not).
+
+    ``dup_bigram_frac`` is NULL for documents with fewer than two words.
+    """
+    w = words_col(text)
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    grams = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit(1).alias("n"), x.alias("g"))),
+        F.transform(bigrams, lambda x: F.struct(F.lit(2).alias("n"), x.alias("g"))),
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("e")).select(
+        id_col, F.col("e.n").alias("n"), F.col("e.g").alias("g")
+    )
+    counts = exploded.groupBy(id_col, "n", "g").agg(F.count("*").alias("cnt"))
+    is1, is2 = F.col("n") == 1, F.col("n") == 2
+    tot1 = F.sum(F.when(is1, F.col("cnt")))
+    dis1 = F.sum(F.when(is1, 1))
+    max1 = F.max(F.when(is1, F.col("cnt")))
+    tot2 = F.sum(F.when(is2, F.col("cnt")))
+    dis2 = F.sum(F.when(is2, 1))
+    return counts.groupBy(id_col).agg(
+        tot1.cast("long").alias("n_words"),
+        dis1.cast("long").alias("n_distinct_words"),
+        F.round(F.lit(1.0) - dis1 / tot1, 6).alias("dup_word_frac"),
+        F.round(max1 / tot1, 6).alias("top_word_frac"),
+        F.coalesce(tot2.cast("long"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(dis2.cast("long"), F.lit(0)).alias("n_distinct_bigrams"),
+        F.round(F.lit(1.0) - dis2 / tot2, 6).alias("dup_bigram_frac"),
+    )
+
+
 def corpus_stats_by_lang(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

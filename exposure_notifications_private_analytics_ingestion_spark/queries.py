@@ -1267,6 +1267,39 @@ WHERE epoch_us(p.ts) // 1000 >= i.start_ms AND epoch_us(p.ts) // 1000 < i.end_ms
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition filters (dup-word/bigram fraction,
+    top-word mass)."""
+    from .operators.text_analysis import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, 1 AS n, unnest(ws) AS g FROM w
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+  FROM w
+),
+c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY doc_id, n, g)
+SELECT doc_id,
+  CAST(sum(cnt) FILTER (WHERE n = 1) AS BIGINT) AS n_words,
+  CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_distinct_words,
+  round(1.0 - count(*) FILTER (WHERE n = 1)
+              / CAST(sum(cnt) FILTER (WHERE n = 1) AS DOUBLE), 6) AS dup_word_frac,
+  round(max(cnt) FILTER (WHERE n = 1)
+        / CAST(sum(cnt) FILTER (WHERE n = 1) AS DOUBLE), 6) AS top_word_frac,
+  CAST(coalesce(sum(cnt) FILTER (WHERE n = 2), 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(count(*) FILTER (WHERE n = 2), 0) AS BIGINT) AS n_distinct_bigrams,
+  round(1.0 - count(*) FILTER (WHERE n = 2)
+              / CAST(sum(cnt) FILTER (WHERE n = 2) AS DOUBLE), 6) AS dup_bigram_frac
+FROM c GROUP BY doc_id
+"""
+
+
 _BOUND_S = 7 * 86400
 
 
@@ -1445,6 +1478,7 @@ def registry() -> dict[str, tuple]:
         "event_type_rollup": (q_event_type_rollup, SQL_EVENT_TYPE_ROLLUP),
         "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
         "time_bounded_join": (q_time_bounded_join, SQL_TIME_BOUNDED_JOIN),
+        "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     }
 
 

@@ -236,3 +236,29 @@ def test_ivf_nprobe_recall_monotone(spark):
     assert [tuple(r) for r in full.collect()] == [
         tuple(r) for r in exact.collect()
     ]
+
+
+def test_repetition_stats_semantics(spark):
+    from exposure_notifications_private_analytics_ingestion_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # heavy repetition
+            (2, "unique words only here"),
+            (3, "solo"),           # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 5 and r1["n_distinct_words"] == 2
+    assert r1["dup_word_frac"] == 0.6 and r1["top_word_frac"] == 0.6
+    assert r1["n_bigrams"] == 4 and r1["n_distinct_bigrams"] == 2
+    assert r1["dup_bigram_frac"] == 0.5
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0 and r2["dup_bigram_frac"] == 0.0
+    r3 = out[3]
+    assert r3["n_words"] == 1 and r3["n_bigrams"] == 0
+    assert r3["dup_bigram_frac"] is None
