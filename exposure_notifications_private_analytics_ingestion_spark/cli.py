@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
                          "hash(conv_id) %% N instead of raw conv_id (~5x "
                          "throughput at many small conversations; identical "
                          "output). Size it ~n_active_convs/200.")
+    ps.add_argument("--facts", default=None,
+                    help="attestation-fact stream path (conv_id, fact_id, "
+                         "fact_ts): only turns whose conversation has a fact "
+                         "within --facts-bound seconds at-or-before the turn "
+                         "are ingested (watermarked stream-stream join)")
+    ps.add_argument("--facts-bound", type=int, default=3600)
     ps.add_argument("--continuous", action="store_true",
                     help="keep running (default: availableNow then exit)")
 
@@ -106,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
                 mode=args.mode,
                 session_gap_s=args.session_gap,
                 bucket_by=args.bucket_by,
+                facts_path=args.facts,
+                facts_bound_s=args.facts_bound,
             ),
             available_now=not args.continuous,
         )

@@ -57,6 +57,15 @@ class StreamOptions:
     # tests assert equality — because windows, dedup, ordering, and batch ids
     # all derive from per-conv row data, never from the grouping key.
     bucket_by: int | None = None
+    # optional attestation-fact stream (schema FACTS_SCHEMA): when set, turns
+    # are inner-joined (watermarked stream-stream, time-range bound) to facts
+    # for the same conv seen within facts_bound_s at-or-before the turn —
+    # the streaming analog of the reference's attestation filter (only
+    # attested shares proceed). A turn matching several facts is emitted
+    # once: the assembler's in-state dedup collapses the join fan-out.
+    facts_path: str | None = None
+    facts_bound_s: int = 3600
+    facts_watermark: str = "1 hour"
 
 
 # one output row per turn in a CLOSED batch
@@ -460,7 +469,28 @@ def closed_batches_stream(
         .parquet(input_path)
     )
     turns = raw.filter(F.col("ts").isNotNull() & F.col("text").isNotNull())
-    with_wm = turns.withWatermark("ts", opts.watermark)
+    if opts.facts_path:
+        from .joins import FACTS_SCHEMA, time_bounded_stream_join
+
+        facts = (
+            spark.readStream.schema(FACTS_SCHEMA)
+            .option("maxFilesPerTrigger", str(opts.max_files_per_trigger))
+            .parquet(opts.facts_path)
+        )
+        # the join assigns the turn-side watermark itself; re-assigning it
+        # downstream of a stateful operator is disallowed (Spark's
+        # multiple-stateful-operator rule), so the joined stream flows into
+        # the assembler as-is
+        turns = time_bounded_stream_join(
+            turns,
+            facts,
+            bound_s=opts.facts_bound_s,
+            turns_watermark=opts.watermark,
+            facts_watermark=opts.facts_watermark,
+        ).select(*[f.name for f in TURNS_SCHEMA.fields])
+        with_wm = turns
+    else:
+        with_wm = turns.withWatermark("ts", opts.watermark)
     if opts.bucket_by:
         # hash-bucketed state (see StreamOptions.bucket_by): the shuffle key
         # is the bucket, so the exchange and the state store see bucket_by

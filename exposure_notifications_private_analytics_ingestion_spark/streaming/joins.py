@@ -23,6 +23,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# fact/attestation side-stream shape for StreamOptions.facts_path
+FACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("fact_id", T.LongType(), True),
+        T.StructField("fact_ts", T.TimestampType(), False),
+    ]
+)
 
 
 def time_bounded_stream_join(

@@ -126,3 +126,51 @@ def test_stream_join_left_outer_emits_unmatched(spark, tmp_path):
     # c1 turn 1 has no fact within bound → must still appear, fact NULL
     assert rows[("c1", 1)] is None
     assert rows[("c1", 0)] == 10
+
+
+@pytest.mark.slow
+def test_ingestion_with_facts_stream_filters_unattested(spark, tmp_path):
+    """facts_path wires the stream-stream join into the CEP loop: only turns
+    whose conversation has a fact within the bound survive to packets, and
+    join fan-out (several facts matching one turn) never duplicates turns."""
+    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+        StreamOptions,
+        start_stream_ingestion,
+    )
+
+    TURNS_FULL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    tdir, fdir = str(tmp_path / "turns"), str(tmp_path / "facts")
+    # attested conv c1 (two facts inside the bound → fan-out), unattested c2;
+    # multi-epoch: turn files and fact files land separately
+    turn_files = [
+        [("c1", 0, "user", "t0", "", _t(100)), ("c2", 0, "user", "x0", "", _t(110))],
+        [("c1", 1, "user", "t1", "", _t(200)), ("c2", 1, "user", "x1", "", _t(210))],
+        # watermark advancer on the TURNS side (the join's output watermark is
+        # the min across inputs); no fact within bound → filtered out itself
+        [("c9", 0, "user", "adv", "", _t(60_000))],
+    ]
+    fact_files = [
+        [("c1", 1, _t(50)), ("c1", 2, _t(60))],
+        [("c8", 9, _t(60_000))],  # watermark advancer, facts side
+    ]
+    for rows in turn_files:
+        spark.createDataFrame(rows, TURNS_FULL).coalesce(1).write.mode("append").parquet(tdir)
+    for rows in fact_files:
+        spark.createDataFrame(rows, FACTS).coalesce(1).write.mode("append").parquet(fdir)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_stream_ingestion(
+        spark, tdir, out, ck,
+        StreamOptions(batch_size=10, max_files_per_trigger=1,
+                      facts_path=fdir, facts_bound_s=600),
+    )
+    q.awaitTermination(240)
+
+    pk = spark.read.parquet(f"{out}/packets")
+    convs = {r["conv_id"] for r in pk.select("conv_id").distinct().collect()}
+    assert convs == {"c1"}
+    dups = (
+        pk.groupBy("conv_id", "turn_idx", "destination").count().filter("count>1")
+    )
+    assert dups.count() == 0
+    assert pk.filter("destination='pha'").count() == 2  # both c1 turns, once
