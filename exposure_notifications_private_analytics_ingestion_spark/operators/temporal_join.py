@@ -72,6 +72,10 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_cols = [c for c in right_cols if c not in on]
+    reserved = {"_t_ms", "_p", "_side", "_m", "_m_ts", "_asof_ts_ms"}
+    clash = reserved & (set(left.columns) | set(right_cols))
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
 
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_p")
     # one row per (key, ts): deterministic representative independent of
@@ -155,6 +159,10 @@ def interval_join_binned(
     ev = events.withColumn("_ev_ms", _ms(event_ts)).withColumn(
         "_bin", F.expr(f"_ev_ms div {bin_ms}")
     )
+    # Empty/inverted intervals match nothing; they must be dropped BEFORE the
+    # bin explode because sequence(a, b) runs DESCENDING when b < a and would
+    # fabricate bins.
+    intervals = intervals.filter(F.col(end_ms) > F.col(start_ms))
     # sequence() is inclusive on both ends; end is exclusive so the bin of
     # (end_ms - 1) is the last covered bin
     iv = intervals.withColumn(

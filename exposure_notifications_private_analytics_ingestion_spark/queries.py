@@ -1342,6 +1342,38 @@ WHERE l.event_type <> 'signup'
 """
 
 
+def q_attested_turn_counts(spark, sf_dir):
+    """Batch twin of streaming/joins.attested_turn_counts_stream (same
+    function): tumbling hourly match-counts downstream of the time-bounded
+    join — the chained-stateful-operator construct, oracle-gated here."""
+    from .streaming.joins import attested_turn_counts_stream
+
+    ev = _read(spark, sf_dir, "events")
+    turns = ev.filter(F.col("event_type") != "signup").select(
+        F.col("user_id").alias("conv_id"), "ts"
+    )
+    facts = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("fact_id"),
+        F.col("ts").alias("fact_ts"),
+    )
+    out = attested_turn_counts_stream(turns, facts, bound_s=_BOUND_S)
+    return out.select(
+        "window_start_ms", F.col("conv_id").alias("user_id"), "n_matches"
+    )
+
+
+SQL_ATTESTED_TURN_COUNTS = f"""
+SELECT epoch_us(date_trunc('hour', l.ts)) // 1000 AS window_start_ms,
+       l.user_id, count(*) AS n_matches
+FROM events l JOIN events r
+  ON r.user_id = l.user_id AND r.event_type = 'signup'
+ AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL {_BOUND_S} SECONDS
+WHERE l.event_type <> 'signup'
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- OLAP shape completions
 
 def q_customers_without_orders(spark, sf_dir):
@@ -1479,6 +1511,7 @@ def registry() -> dict[str, tuple]:
         "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
         "time_bounded_join": (q_time_bounded_join, SQL_TIME_BOUNDED_JOIN),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+        "attested_turn_counts": (q_attested_turn_counts, SQL_ATTESTED_TURN_COUNTS),
     }
 
 

@@ -67,3 +67,40 @@ def time_bounded_stream_join(
         & (F.col("fact_ts") > F.col("ts") - F.expr(f"INTERVAL {int(bound_s)} SECONDS"))
     )
     return t.join(f_, cond, how).drop("_fact_key")
+
+
+def attested_turn_counts_stream(
+    turns: DataFrame,
+    facts: DataFrame,
+    bound_s: int,
+    window_s: int = 3600,
+    key: str = "conv_id",
+    turns_watermark: str = "1 hour",
+    facts_watermark: str = "1 hour",
+) -> DataFrame:
+    """Chained stateful operators: the stream-stream join feeding a tumbling
+    window count (Spark's multiple-stateful-operator support) — per
+    conversation and hour, how many (turn, fact) attestation matches closed.
+    Emits a window's row only once the watermark passes its end; join state
+    and window state evict independently off the same watermark.
+
+    Output: (window_start_ms, conv_id, n_matches) — identical semantics to
+    the batch twin in ``queries.py`` (``attested_turn_counts``), which the
+    oracle gates."""
+    j = time_bounded_stream_join(
+        turns,
+        facts,
+        bound_s=bound_s,
+        key=key,
+        turns_watermark=turns_watermark,
+        facts_watermark=facts_watermark,
+    )
+    return (
+        j.groupBy(F.window("ts", f"{window_s} seconds").alias("w"), key)
+        .agg(F.count("*").alias("n_matches"))
+        .select(
+            F.expr("unix_micros(w.start) div 1000").alias("window_start_ms"),
+            key,
+            "n_matches",
+        )
+    )

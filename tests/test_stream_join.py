@@ -26,7 +26,8 @@ def _mk_input(spark, tmp_path):
     """Three single-file epochs per side; facts for epoch 2 land in a LATER
     file than the turns they must join to (cross-epoch state buffering)."""
     turn_files = [
-        [("c1", 0, "a", _t(100)), ("c1", 1, "b", _t(700)), ("c2", 0, "x", _t(400))],
+        [("c1", 0, "a", _t(100)), ("c1", 1, "b", _t(700)), ("c2", 0, "x", _t(400)),
+         ("c1", 3, "d", _t(150))],  # second match in c1's first window
         [("c1", 2, "c", _t(1400)), ("c3", 0, "y", _t(1500))],
         [("c2", 1, "z", _t(4000))],
     ]
@@ -174,3 +175,54 @@ def test_ingestion_with_facts_stream_filters_unattested(spark, tmp_path):
     )
     assert dups.count() == 0
     assert pk.filter("destination='pha'").count() == 2  # both c1 turns, once
+
+
+@pytest.mark.slow
+def test_chained_join_then_window_agg_stream_matches_batch(spark, tmp_path):
+    """Stream-stream join feeding a tumbling window count (chained stateful
+    operators) must equal the batch run of the same function."""
+    from exposure_notifications_private_analytics_ingestion_spark.streaming.joins import (
+        attested_turn_counts_stream,
+    )
+
+    tdir, fdir = _mk_input(spark, tmp_path)
+    # 10-min watermarks: the fixture spans ~4000 s, so the 1-h default would
+    # leave every window open and the append-mode agg would emit nothing
+    kw = dict(bound_s=600, window_s=600,
+              turns_watermark="10 minutes", facts_watermark="10 minutes")
+
+    batch = attested_turn_counts_stream(
+        spark.read.parquet(tdir), spark.read.parquet(fdir), **kw
+    )
+    expected = {
+        (r["window_start_ms"], r["conv_id"]): r["n_matches"] for r in batch.collect()
+    }
+    assert expected and any(v > 1 for v in expected.values())
+
+    out = str(tmp_path / "out_agg")
+    q = (
+        attested_turn_counts_stream(
+            spark.readStream.schema(TURNS).option("maxFilesPerTrigger", "1").parquet(tdir),
+            spark.readStream.schema(FACTS).option("maxFilesPerTrigger", "1").parquet(fdir),
+            **kw,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_agg"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["window_start_ms"], r["conv_id"]): r["n_matches"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the advancer rows' own windows may still be open at stream end (the
+    # watermark never passes them); every CLOSED window must match batch
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+    closed_horizon = max(ms for ms, _ in expected) # advancer windows
+    core = {k: v for k, v in expected.items() if k[0] < closed_horizon - 600_000}
+    assert set(core) <= set(got)

@@ -168,6 +168,19 @@ def test_interval_join_left_keeps_unmatched(spark):
     assert out == {1: 7, 2: None}
 
 
+def test_interval_join_inverted_interval_matches_nothing(spark):
+    """end <= start must match nothing — sequence() would run DESCENDING on
+    an inverted range and fabricate bins if not filtered."""
+    ev = spark.createDataFrame([(1, _ts(100))], "event_id int, ts timestamp")
+    iv = spark.createDataFrame(
+        [(7, 200_000, 90_000), (8, 100_000, 100_000)],
+        "iid int, start_ms long, end_ms long",
+    )
+    assert interval_join_binned(ev, iv, bin_s=60).count() == 0
+    out = interval_join_binned(ev, iv, bin_s=60, how="left").collect()
+    assert len(out) == 1 and out[0]["iid"] is None
+
+
 def test_interval_join_no_bnl_in_plan(spark):
     """The physical plan must be a hash equi-join on the bin id, never a
     BroadcastNestedLoopJoin."""

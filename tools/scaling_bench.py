@@ -84,7 +84,16 @@ def one_stream(tag):
     q.awaitTermination(3600)
     return time.time() - t0
 
-fn, reps = (one_batch, 3) if leg == "batch" else (one_stream, 3)
+import os as _os
+# Fresh-JVM-per-rep protocol (reps=1, more JVM tags) available for hosts
+# where repeated streaming queries in one JVM degrade: every terminated
+# query's state-store providers stay cached under their (now dead)
+# checkpoint keys, so rep N runs against N-1 generations of retained state
+# maps — observed reps of 68/156/272 s for identical work. A long-running
+# production stream is ONE query and does not hit this; the bench artifact
+# is avoided by measuring one query per JVM.
+reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+fn = one_batch if leg == "batch" else one_stream
 fn("warm")          # JIT + cache warm-up, discarded
 times = sorted(fn(f"m{{i}}") for i in range(reps))
 secs = times[len(times) // 2] if reps % 2 else sum(times[reps//2-1:reps//2+1]) / 2
@@ -179,10 +188,12 @@ def one_stream(tag):
     q.awaitTermination(3600)
     return time.time() - t0
 
+import os as _os
+_reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 fn = one_batch if leg == "batch" else one_stream
 fn("warm")  # JIT + page-cache warm-up, discarded
-times = sorted(fn(f"m{{i}}") for i in range(3))
-secs = times[1]
+times = sorted(fn(f"m{{i}}") for i in range(_reps))
+secs = times[len(times) // 2]
 print("FLEET " + json.dumps({{"shard": shard, "n": n, "secs": round(secs, 2),
                               "reps": times}}))
 """
