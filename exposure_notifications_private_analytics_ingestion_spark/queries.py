@@ -1224,6 +1224,62 @@ SELECT event_id, user_id, ts_ms,
 FROM base
 """
 
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of: each non-signup event gets the user's EARLIEST signup
+    at-or-after its timestamp (the look-ahead direction, e.g. 'next config
+    rollout after this turn')."""
+    from .operators.temporal_join import asof_join
+
+    left, right = _signup_split(spark, sf_dir)
+    right = right.withColumnRenamed("signup_event_id", "next_signup_event_id")
+    j = asof_join(
+        left, right, on=["user_id"], right_cols=["next_signup_event_id"],
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        _ms().alias("ts_ms"),
+        "next_signup_event_id",
+        (F.col("_asof_ts_ms") - F.expr("unix_micros(ts) div 1000")).alias(
+            "ms_until_signup"
+        ),
+    )
+
+
+# DuckDB ASOF only looks backward (l >= r), so forward is the same join on
+# NEGATED timestamps; the (user_id, ts) tie rule (max event_id) is identical.
+SQL_ASOF_FORWARD = """
+WITH r AS (SELECT user_id, ts, max(event_id) AS next_signup_event_id,
+                  -(epoch_us(ts)) AS nts
+           FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+     l AS (SELECT event_id, user_id, ts, -(epoch_us(ts)) AS nts
+           FROM events WHERE event_type <> 'signup')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) // 1000 AS ts_ms,
+       r.next_signup_event_id,
+       epoch_us(r.ts) // 1000 - epoch_us(l.ts) // 1000 AS ms_until_signup
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.nts >= r.nts
+"""
+
+
+def q_users_click_no_purchase(spark, sf_dir):
+    """Set operation (EXCEPT/distinct semantics): users who clicked but never
+    made a high-value purchase."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    ).select("user_id")
+    return clicks.subtract(buys)  # EXCEPT (distinct) semantics
+
+
+SQL_CLICK_NO_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 250
+"""
+
+
 _INCIDENT_VALUE = 250
 _INCIDENT_WIN_MS = 1800 * 1000
 
@@ -1499,6 +1555,11 @@ def registry() -> dict[str, tuple]:
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
         "asof_join_signup": (q_asof_join_signup, SQL_ASOF_SIGNUP),
         "asof_join_tolerance": (q_asof_join_tolerance, SQL_ASOF_TOLERANCE),
+        "asof_join_forward": (q_asof_join_forward, SQL_ASOF_FORWARD),
+        "users_click_no_purchase": (
+            q_users_click_no_purchase,
+            SQL_CLICK_NO_PURCHASE,
+        ),
         "interval_join_incidents": (
             q_interval_join_incidents,
             SQL_INTERVAL_INCIDENTS,
