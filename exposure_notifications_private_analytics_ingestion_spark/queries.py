@@ -1280,6 +1280,34 @@ SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 250
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_daily_event_pivot(spark, sf_dir):
+    """Pivot: one row per day, one count column per event type. The explicit
+    value list keeps the plan a single partial+final hash-agg (no extra
+    distinct-values job) and the schema deterministic."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+SQL_DAILY_EVENT_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY day
+"""
+
+
 _INCIDENT_VALUE = 250
 _INCIDENT_WIN_MS = 1800 * 1000
 
@@ -1560,6 +1588,7 @@ def registry() -> dict[str, tuple]:
             q_users_click_no_purchase,
             SQL_CLICK_NO_PURCHASE,
         ),
+        "daily_event_pivot": (q_daily_event_pivot, SQL_DAILY_EVENT_PIVOT),
         "interval_join_incidents": (
             q_interval_join_incidents,
             SQL_INTERVAL_INCIDENTS,
