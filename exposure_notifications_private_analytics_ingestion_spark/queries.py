@@ -1498,6 +1498,72 @@ FROM events GROUP BY ROLLUP (event_type, day)
 """
 
 
+def q_event_type_cube(spark, sf_dir):
+    """CUBE over (event_type, day-of-week): all four grouping sets."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.expr("CAST(floor(value * 100) AS BIGINT)")
+    dow = F.date_format("ts", "EEEE")
+    return (
+        ev.select(F.col("event_type"), dow.alias("dow"), cents.alias("cents"))
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+SQL_EVENT_TYPE_CUBE = """
+SELECT event_type, strftime(ts, '%A') AS dow, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY CUBE (event_type, dow)
+"""
+
+
+def q_users_click_and_purchase(spark, sf_dir):
+    """Set operation INTERSECT (distinct): users with both a click and a
+    high-value purchase."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 250)
+    ).select("user_id")
+    return clicks.intersect(buys)
+
+
+SQL_CLICK_AND_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 250
+"""
+
+
+def q_inter_event_gaps(spark, sf_dir):
+    """lag/lead analytics: per-user gap to the previous event and whether the
+    next event is an error (the inter-turn-latency / error-follows shape a
+    transcript pipeline monitors)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.expr("unix_micros(ts) div 1000")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ms.alias("ts_ms"),
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+        F.coalesce(F.lead("event_type").over(w) == "error", F.lit(False)).alias(
+            "next_is_error"
+        ),
+    )
+
+
+SQL_INTER_EVENT_GAPS = """
+SELECT event_id, user_id, epoch_us(ts) // 1000 AS ts_ms,
+       epoch_us(ts) // 1000 - lag(epoch_us(ts) // 1000) OVER w AS gap_ms,
+       coalesce(lead(event_type) OVER w = 'error', false) AS next_is_error
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_running_user_value(spark, sf_dir):
     """Per-user running totals (cumulative window, fully ordered by
     (ts, event_id) so ties are deterministic)."""
@@ -1589,6 +1655,12 @@ def registry() -> dict[str, tuple]:
             SQL_CLICK_NO_PURCHASE,
         ),
         "daily_event_pivot": (q_daily_event_pivot, SQL_DAILY_EVENT_PIVOT),
+        "event_type_cube": (q_event_type_cube, SQL_EVENT_TYPE_CUBE),
+        "users_click_and_purchase": (
+            q_users_click_and_purchase,
+            SQL_CLICK_AND_PURCHASE,
+        ),
+        "inter_event_gaps": (q_inter_event_gaps, SQL_INTER_EVENT_GAPS),
         "interval_join_incidents": (
             q_interval_join_incidents,
             SQL_INTERVAL_INCIDENTS,
