@@ -226,3 +226,50 @@ def test_chained_join_then_window_agg_stream_matches_batch(spark, tmp_path):
     closed_horizon = max(ms for ms, _ in expected) # advancer windows
     core = {k: v for k, v in expected.items() if k[0] < closed_horizon - 600_000}
     assert set(core) <= set(got)
+
+
+@pytest.mark.slow
+def test_facts_gated_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Stopping and resuming the facts-gated pipeline must pick up new turn
+    AND fact files exactly once — join state and assembler state both live
+    in the one checkpoint."""
+    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+        StreamOptions,
+        start_stream_ingestion,
+    )
+
+    TURNS_FULL = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    tdir, fdir = str(tmp_path / "turns"), str(tmp_path / "facts")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    opts = StreamOptions(batch_size=10, max_files_per_trigger=1,
+                         facts_path=fdir, facts_bound_s=600)
+
+    spark.createDataFrame(
+        [("c1", 0, "user", "t0", "", _t(100)),
+         ("adv1", 0, "user", "a", "", _t(50_000))], TURNS_FULL
+    ).coalesce(1).write.mode("append").parquet(tdir)
+    spark.createDataFrame(
+        [("c1", 1, _t(50)), ("advf", 1, _t(50_000))], FACTS
+    ).coalesce(1).write.mode("append").parquet(fdir)
+    q = start_stream_ingestion(spark, tdir, out, ck, opts)
+    q.awaitTermination(240)
+    pk1 = spark.read.parquet(f"{out}/packets")
+    assert {r["conv_id"] for r in pk1.select("conv_id").distinct().collect()} == {"c1"}
+    n1 = pk1.count()
+
+    # phase 2: new attested conversation beyond the old watermark
+    spark.createDataFrame(
+        [("c2", 0, "user", "x0", "", _t(60_000)),
+         ("adv2", 0, "user", "a", "", _t(120_000))], TURNS_FULL
+    ).coalesce(1).write.mode("append").parquet(tdir)
+    spark.createDataFrame(
+        [("c2", 7, _t(59_900)), ("advf", 2, _t(120_000))], FACTS
+    ).coalesce(1).write.mode("append").parquet(fdir)
+    q2 = start_stream_ingestion(spark, tdir, out, ck, opts)
+    q2.awaitTermination(240)
+
+    pk2 = spark.read.parquet(f"{out}/packets")
+    assert {r["conv_id"] for r in pk2.select("conv_id").distinct().collect()} == {"c1", "c2"}
+    dups = pk2.groupBy("conv_id", "turn_idx", "destination").count().filter("count>1")
+    assert dups.count() == 0
+    assert pk2.filter("conv_id='c1'").count() == n1  # old output untouched
