@@ -253,14 +253,18 @@ def span_dedup(
     text (first = lowest (doc_id, span_idx)), and reassemble the surviving
     chunks in order. Returns (doc_id, clean_text, n_spans, n_dropped).
 
-    Plan shape at scale: one narrow chunking projection (no shuffle), one
-    exchange on the span hash for the first-occurrence window, one exchange
+    Plan shape at scale: one narrow chunking projection (no shuffle), a
+    map-side-partial ``groupBy(span).agg(min(struct(doc_id, span_idx)))`` to
+    pick each span's first occurrence, a join-back on span, and one exchange
     back on doc_id for reassembly — all hash-partitioned narrow rows, never
-    all-pairs, never a full-corpus sort. (The reference engine has no corpus
-    operators; this extends the dedup suite the same way minhash/simhash
-    do.)"""
-    from pyspark.sql import Window
-
+    all-pairs, never a full-corpus sort. The first-occurrence step is
+    deliberately NOT a ``row_number`` window: a window partitioned by raw
+    span text has no partial aggregation, so a boilerplate span repeated
+    10⁷–10⁸× at corpus scale (cookie banners, license headers) would shuffle
+    every occurrence into one task. The hash-agg shrinks the hot span to one
+    row map-side, and the join-back probe side is AQE-skew-splittable.
+    (The reference engine has no corpus operators; this extends the dedup
+    suite the same way minhash/simhash do.)"""
     ws = F.split(F.col(text), " ")
     n_spans = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
     chunks = df.select(
@@ -274,11 +278,19 @@ def span_dedup(
             )
         ).alias("span_idx", "span"),
     )
-    w = Window.partitionBy("span").orderBy(
-        F.col(id_col).asc(), F.col("span_idx").asc()
+    first = chunks.groupBy("span").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias(
+            "_first"
+        )
     )
-    marked = chunks.withColumn(
-        "keep", F.row_number().over(w) == 1
+    marked = (
+        chunks.join(first, on="span", how="inner")
+        .withColumn(
+            "keep",
+            (F.col(id_col) == F.col("_first.d"))
+            & (F.col("span_idx") == F.col("_first.i")),
+        )
+        .drop("_first")
     )
     return (
         marked.groupBy(id_col)

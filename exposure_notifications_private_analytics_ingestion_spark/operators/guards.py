@@ -8,8 +8,10 @@ corpus. This guard makes the quadratic path impossible to hit by accident —
 above ``limit`` input rows it raises unless the caller passes
 ``allow_quadratic=True``, naming the scalable twin to use instead.
 
-The guard runs ``df.count()`` — one cheap aggregate action — only when the
-flag is not set; callers on the blessed scalable paths never pay it.
+The guard runs ``df.limit(limit+1).count()`` — an action that scans at most
+``limit+1`` rows and short-circuits via LocalLimit, never a full-input pass —
+and only when the flag is not set; callers on the blessed scalable paths
+never pay it.
 """
 
 from __future__ import annotations
@@ -32,11 +34,14 @@ def guard_quadratic(
 ) -> None:
     if allow_quadratic:
         return
-    n = df.count()
+    # limit(n+1) short-circuits the scan: the guard reads at most limit+1
+    # rows even when the input is a 100 TB table, instead of paying a full
+    # upstream recompute just to learn the input is too big.
+    n = df.limit(limit + 1).count()
     if n > limit:
         raise QuadraticPlanError(
             f"{op_name} is an all-pairs O(n²) baseline and its input has "
-            f"{n:,} rows (> {limit:,}). Use {scalable_twin} at scale, or "
+            f"more than {limit:,} rows. Use {scalable_twin} at scale, or "
             f"pass allow_quadratic=True if you really want the exact "
             f"brute-force computation."
         )

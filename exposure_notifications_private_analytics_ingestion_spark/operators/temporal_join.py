@@ -31,6 +31,8 @@ interval span so each interval explodes into O(1) bins.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -59,8 +61,11 @@ def asof_join(
 
     Left rows with no match keep NULL right columns (as-of LEFT join,
     matching DuckDB's ``ASOF LEFT JOIN``). If several right rows share the
-    same (key, ts), the field-wise-maximum payload is taken so the result
-    is deterministic regardless of partitioning.
+    same (key, ts), the lexicographically greatest payload struct is taken
+    (fields compared in ``right_cols`` order — ``F.max`` over a struct is
+    lexicographic, so with multiple payload columns later fields are tie
+    breakers, not independently maximized) so the result is deterministic
+    regardless of partitioning.
 
     Output = all left columns + ``right_cols`` + ``_asof_ts_ms`` (epoch-ms
     of the matched right row, NULL when unmatched).
@@ -150,11 +155,16 @@ def interval_join_binned(
     ``intervals`` must carry epoch-ms ``start_ms``/``end_ms`` columns; all
     its columns survive into the output alongside all event columns.
     ``how='left'`` keeps unmatched events with NULL interval columns
-    (implemented as a second anti-join leg so the hot path stays an
-    equi-join).
+    (implemented as a null-safe anti-join leg so the hot path stays an
+    equi-join; ``eqNullSafe`` keeps matched events carrying NULLs from
+    being re-emitted as unmatched).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    reserved = {"_ev_ms", "_bin"}
+    clash = reserved & (set(events.columns) | set(intervals.columns))
+    if clash:
+        raise ValueError(f"interval_join_binned reserves column names {sorted(clash)}")
     bin_ms = bin_s * 1000
     ev = events.withColumn("_ev_ms", _ms(event_ts)).withColumn(
         "_bin", F.expr(f"_ev_ms div {bin_ms}")
@@ -184,10 +194,22 @@ def interval_join_binned(
     if how == "inner":
         return inner
     iv_cols = [c for c in intervals.columns if c not in events.columns]
-    missed = events.join(
-        inner.select(*events.columns).distinct(), on=events.columns, how="left_anti"
-    ).select(
-        *events.columns,
+    # Null-safe anti-join: bare column equality (`on=[cols]`) never matches a
+    # NULL to itself, so a matched event with a NULL in any column would be
+    # emitted twice — once matched, once as a fabricated unmatched row.
+    # eqNullSafe (`<=>`) is still a hash-joinable equality, so the plan stays
+    # an equi- (not nested-loop) anti-join.
+    e = events.alias("_ij_e")
+    m = inner.select(*events.columns).distinct().alias("_ij_m")
+    cond = reduce(
+        and_,
+        [
+            F.col(f"_ij_e.{c}").eqNullSafe(F.col(f"_ij_m.{c}"))
+            for c in events.columns
+        ],
+    )
+    missed = e.join(m, cond, "left_anti").select(
+        *[F.col(f"_ij_e.{c}") for c in events.columns],
         *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in iv_cols],
     )
     return inner.unionByName(missed)

@@ -1129,15 +1129,22 @@ WHERE {_PAIR_SIM_SQL} >= 0.35
 
 
 def q_multimodal_features(spark, sf_dir):
+    # strict=True: every fixture byte string is a real PNG / JPEG header, so
+    # the kernel must DECODE them (a fallback row here would hash-mismatch
+    # the oracle's predicted dimensions).
     docs = _read(spark, sf_dir, "documents")
-    return extract_features(attach_media(docs))
+    return extract_features(attach_media(docs), strict=True)
 
 
+# the oracle predicts what a correct PNG-IHDR / JPEG-SOF parse must return
+# for the deterministic fixtures attach_media generates (see _media_dims)
 SQL_MULTIMODAL = """
-SELECT doc_id, length(text)::BIGINT AS n_bytes,
-       (length(text) % 640 + 1)::INT AS width,
-       ((length(text) * 7) % 480 + 1)::INT AS height,
-       (length(text) % 10)::INT AS n_frames,
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       (doc_id % 640 + 1)::INT AS width,
+       ((doc_id * 7) % 480 + 1)::INT AS height,
+       8::INT AS bit_depth,
+       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::INT AS channels,
        true AS ok
 FROM documents
 """

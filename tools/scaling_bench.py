@@ -193,7 +193,8 @@ _reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 fn = one_batch if leg == "batch" else one_stream
 fn("warm")  # JIT + page-cache warm-up, discarded
 times = sorted(fn(f"m{{i}}") for i in range(_reps))
-secs = times[len(times) // 2]
+# same odd/even median expression as the single-JVM leg template
+secs = times[_reps // 2] if _reps % 2 else sum(times[_reps//2-1:_reps//2+1]) / 2
 print("FLEET " + json.dumps({{"shard": shard, "n": n, "secs": round(secs, 2),
                               "reps": times}}))
 """
