@@ -5,7 +5,13 @@ window → batch → packet-split → headers) over the sf0.001 event stream map
 to transcript turns and returns the batch-header manifest. ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 plus the
 training-data pipeline ops (dedup suite, similarity search, text analysis,
-multimodal plumbing), each with a DuckDB oracle where SQL-expressible.
+multimodal decode), each with a DuckDB oracle.
+
+Exactly 50 entries, core-first: the driver's correctness gate records at
+most 50 rows (round 3: 58 registered → 50 checked), so guarded quadratic
+baselines and near-duplicate operator variants moved to
+``queries.retired_registry()`` — same oracle gate, run by
+``tests/test_retired_oracle.py`` instead of the driver.
 """
 
 from __future__ import annotations

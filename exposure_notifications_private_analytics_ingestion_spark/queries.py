@@ -1606,81 +1606,114 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # --------------------------------------------------------------- registry
 
 def registry() -> dict[str, tuple]:
-    """name → (spark_fn, oracle_sql | None)."""
+    """name → (spark_fn, oracle_sql | None): the DRIVER-CHECKED registry.
+
+    Exactly 50 entries, core operators first — the driver's correctness gate
+    records at most 50 rows (round 3 proved it: 58 registered, 50 checked),
+    so the registry is sized to the budget and ordered so the reference's
+    own operator inventory (SURVEY §2) is verified before engine-breadth
+    queries. Guarded quadratic baselines and near-duplicate operator
+    variants live in ``retired_registry()`` with pytest-only oracle
+    certification (tests/test_retired_oracle.py)."""
     return {
+        # --- reference-parity core (SURVEY §2: V1, D1, F1, G1/G2, X1, W2,
+        # DEL1, M2) and the north-rule streaming window suite
         "validate_filter": (q_validate_filter, SQL_VALIDATE),
         "dedup_exact": (q_dedup_exact, SQL_DEDUP),
         "window_filter": (q_window_filter, SQL_WINDOW_FILTER),
-        "tumbling_window_counts": (q_tumbling_window_counts, SQL_TUMBLING),
-        "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING),
-        "session_windows": (q_session_windows, SQL_SESSION),
         "group_batches": (q_group_batches, SQL_GROUP_BATCHES),
-        "batch_assembly_stateful": (q_batch_assembly_stateful, SQL_GROUP_BATCHES),
         "batch_assembly_bucketed": (q_batch_assembly_bucketed, SQL_GROUP_BATCHES),
         "packet_split": (q_packet_split, SQL_PACKET_SPLIT),
         "batch_headers": (q_batch_headers, SQL_BATCH_HEADERS),
         "deletion_retention": (q_deletion_retention, SQL_DELETION),
         "metrics_rollup": (q_metrics_rollup, SQL_ROLLUP),
         "batch_size_distribution": (q_batch_size_distribution, SQL_BATCH_DIST),
+        "tumbling_window_counts": (q_tumbling_window_counts, SQL_TUMBLING),
+        "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING),
+        "session_windows": (q_session_windows, SQL_SESSION),
         "hot_key_salted_agg": (q_hot_key_salted_agg, SQL_SALTED),
+        "attested_turn_counts": (q_attested_turn_counts, SQL_ATTESTED_TURN_COUNTS),
+        # --- temporal joins + event analytics
+        "asof_join_signup": (q_asof_join_signup, SQL_ASOF_SIGNUP),
+        "interval_join_incidents": (
+            q_interval_join_incidents,
+            SQL_INTERVAL_INCIDENTS,
+        ),
+        "time_bounded_join": (q_time_bounded_join, SQL_TIME_BOUNDED_JOIN),
+        "inter_event_gaps": (q_inter_event_gaps, SQL_INTER_EVENT_GAPS),
+        "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
+        # --- OLAP completeness (joins, aggs, grouping sets, set ops)
         "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_Q1),
         "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
         "part_revenue_by_region": (q_part_revenue_by_region, SQL_PART_REVENUE_REGION),
         "top_spenders_per_type": (q_top_spenders_per_type, SQL_TOP_SPENDERS),
         "distinct_users_hourly": (q_distinct_users_hourly, SQL_DISTINCT_USERS),
-        "token_count": (q_token_count, SQL_TOKEN_COUNT),
-        "quality_score": (q_quality_score, SQL_QUALITY),
-        "lang_id": (q_lang_id, _sql_lang_id()),
-        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
-        "ngram_doc_frequency": (q_ngram_doc_frequency, SQL_NGRAM_DOC_FREQ),
-        "stratified_sample_docs": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-        "sample_n_per_lang": (q_sample_n_per_lang, SQL_SAMPLE_N_PER_LANG),
-        "corpus_stats_by_lang": (q_corpus_stats_by_lang, _sql_corpus_stats()),
-        "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
-        "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
-        "span_dedup_docs": (q_span_dedup, SQL_SPAN_DEDUP),
-        "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
-        "simhash_docs": (q_simhash, _sql_simhash()),
-        "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-        "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_CC),
-        "near_dup_verified_components": (
-            q_near_dup_verified_components,
-            SQL_NEAR_DUP_VERIFIED_CC,
-        ),
-        "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-        "cosine_near_dup_pairs": (q_cosine_near_dup, SQL_COSINE_PAIRS),
-        "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-        "ivf_topk_nprobe2": (q_ivf_topk_nprobe2, SQL_IVF_TOPK_NPROBE2),
-        "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
-        "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, SQL_COSINE_PAIRS_LSH),
-        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
-        "asof_join_signup": (q_asof_join_signup, SQL_ASOF_SIGNUP),
-        "asof_join_tolerance": (q_asof_join_tolerance, SQL_ASOF_TOLERANCE),
-        "asof_join_forward": (q_asof_join_forward, SQL_ASOF_FORWARD),
-        "users_click_no_purchase": (
-            q_users_click_no_purchase,
-            SQL_CLICK_NO_PURCHASE,
-        ),
-        "daily_event_pivot": (q_daily_event_pivot, SQL_DAILY_EVENT_PIVOT),
-        "event_type_cube": (q_event_type_cube, SQL_EVENT_TYPE_CUBE),
-        "users_click_and_purchase": (
-            q_users_click_and_purchase,
-            SQL_CLICK_AND_PURCHASE,
-        ),
-        "inter_event_gaps": (q_inter_event_gaps, SQL_INTER_EVENT_GAPS),
-        "interval_join_incidents": (
-            q_interval_join_incidents,
-            SQL_INTERVAL_INCIDENTS,
-        ),
         "customers_without_orders": (
             q_customers_without_orders,
             SQL_CUSTOMERS_NO_ORDERS,
         ),
+        "daily_event_pivot": (q_daily_event_pivot, SQL_DAILY_EVENT_PIVOT),
+        "event_type_cube": (q_event_type_cube, SQL_EVENT_TYPE_CUBE),
         "event_type_rollup": (q_event_type_rollup, SQL_EVENT_TYPE_ROLLUP),
-        "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
-        "time_bounded_join": (q_time_bounded_join, SQL_TIME_BOUNDED_JOIN),
+        "users_click_no_purchase": (
+            q_users_click_no_purchase,
+            SQL_CLICK_NO_PURCHASE,
+        ),
+        "users_click_and_purchase": (
+            q_users_click_and_purchase,
+            SQL_CLICK_AND_PURCHASE,
+        ),
+        # --- training-data corpus ops: text analysis + sampling
+        "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "quality_score": (q_quality_score, SQL_QUALITY),
+        "lang_id": (q_lang_id, _sql_lang_id()),
+        "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
-        "attested_turn_counts": (q_attested_turn_counts, SQL_ATTESTED_TURN_COUNTS),
+        "ngram_doc_frequency": (q_ngram_doc_frequency, SQL_NGRAM_DOC_FREQ),
+        "corpus_stats_by_lang": (q_corpus_stats_by_lang, _sql_corpus_stats()),
+        "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
+        "stratified_sample_docs": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+        "sample_n_per_lang": (q_sample_n_per_lang, SQL_SAMPLE_N_PER_LANG),
+        # --- dedup suite (exact / span / minhash-LSH / simhash / verified CC)
+        "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
+        "span_dedup_docs": (q_span_dedup, SQL_SPAN_DEDUP),
+        "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH),
+        "simhash_docs": (q_simhash, _sql_simhash()),
+        "near_dup_verified_components": (
+            q_near_dup_verified_components,
+            SQL_NEAR_DUP_VERIFIED_CC,
+        ),
+        # --- similarity search (scale paths) + multimodal
+        "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+        "lsh_ann_topk": (q_lsh_ann_topk, SQL_LSH_ANN_TOPK),
+        "cosine_near_dup_lsh": (q_cosine_near_dup_lsh, SQL_COSINE_PAIRS_LSH),
+        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL),
+    }
+
+
+def retired_registry() -> dict[str, tuple]:
+    """name → (spark_fn, oracle_sql): operators RETIRED from the driver's
+    50-row correctness budget but still shipped, certified, and timed.
+
+    Four are guarded O(n²) baselines whose bucketed twins stay driver-gated
+    (cosine_topk → lsh_ann_topk, cosine_near_dup_pairs → cosine_near_dup_lsh,
+    standalone ngram_jaccard_pairs → candidate-mode verify inside
+    near_dup_verified_components, near_dup_components → the verified CC);
+    four are near-duplicate variants of driver-gated operators
+    (asof tolerance/forward vs backward, ivf nprobe=2 vs nprobe=1, per-conv
+    stateful assembly vs the bit-identical bucketed twin).
+    tests/test_retired_oracle.py runs every entry against its DuckDB oracle
+    at sf0.001 (same rows+schema+hash gate the driver applies); bench.py
+    times them on a capped slice."""
+    return {
+        "batch_assembly_stateful": (q_batch_assembly_stateful, SQL_GROUP_BATCHES),
+        "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+        "near_dup_components": (q_near_dup_components, SQL_NEAR_DUP_CC),
+        "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+        "cosine_near_dup_pairs": (q_cosine_near_dup, SQL_COSINE_PAIRS),
+        "ivf_topk_nprobe2": (q_ivf_topk_nprobe2, SQL_IVF_TOPK_NPROBE2),
+        "asof_join_tolerance": (q_asof_join_tolerance, SQL_ASOF_TOLERANCE),
+        "asof_join_forward": (q_asof_join_forward, SQL_ASOF_FORWARD),
     }
 
 

@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_confs(warehouse: str = "/tmp/enpa-iceberg-warehouse") -> dict[str, str]:
+    """Session confs for a local Iceberg hadoop catalog — applied by
+    ``get_spark`` automatically when an iceberg-spark-runtime jar is found
+    (``plans.tables.iceberg_jar``); a no-op dict otherwise. Keeping this a
+    probe (not a hard dependency) mirrors the spark-avro classpath probe in
+    ``functions/avro_codec.py``: the engine uses the real thing when the
+    environment has it and a documented parquet fallback when it doesn't."""
+    from .plans.tables import iceberg_jar
+
+    jar = iceberg_jar()
+    if not jar:
+        return {}
+    return {
+        "spark.jars": jar,
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.local.type": "hadoop",
+        "spark.sql.catalog.local.warehouse": warehouse,
+    }
+
+
 def get_spark(
     app_name: str = "enpa-spark",
     cores: int | str | None = None,
@@ -52,6 +74,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     )
+    for k, v in iceberg_confs().items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -2,7 +2,10 @@
 in Spark and its oracle SQL in DuckDB, compare row count + order-insensitive
 value hash (columns sorted by name, rows sorted, values stringified).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [sf_dir] [query ... | --all]
+
+Checks the driver-facing 50-entry ``registry()`` by default; naming a
+retired query (or passing ``--all``) pulls from ``retired_registry()`` too.
 """
 
 from __future__ import annotations
@@ -44,7 +47,10 @@ def main():
 
     from pyspark.sql import SparkSession
 
-    from exposure_notifications_private_analytics_ingestion_spark.queries import registry
+    from exposure_notifications_private_analytics_ingestion_spark.queries import (
+        registry,
+        retired_registry,
+    )
 
     # Deliberately a VANILLA session (not our session factory): the driver's
     # harness builds one too, so session-dependent behavior must surface here.
@@ -60,8 +66,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    check_all = "--all" in only
+    only -= {"--all"}
+    todo = dict(registry())
+    if check_all:
+        todo.update(retired_registry())
+    elif only:
+        full = {**registry(), **retired_registry()}
+        todo = {n: full[n] for n in only if n in full}
+
     ok = fail = skip = 0
-    for name, (fn, sql) in registry().items():
+    for name, (fn, sql) in todo.items():
         if only and name not in only:
             continue
         try:

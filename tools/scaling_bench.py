@@ -26,6 +26,11 @@ Usage:
   python tools/scaling_bench.py fleet    [batch|stream] [workdir]
   python tools/scaling_bench.py ceiling
   python tools/scaling_bench.py finalize [workdir]
+  python tools/scaling_bench.py protocol [batch|stream] [workdir] [n_samples]
+
+``protocol`` is the round-4 one-shot: ≥n_samples canary-QUALIFIED
+storage-isolated fleet samples + same-window CPU ceiling + finalize
+(writes BENCH/BASELINE.md and BENCH/scaling_latest.json).
 """
 
 from __future__ import annotations
@@ -355,6 +360,7 @@ def finalize(workdir: str):
         return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
 
     fleet_rows = []
+    per_sample_map: dict[str, list[float]] = {}
     for leg, recs in sorted(fleet_recs.items()):
         small = recs.get("1x4-exec")
         big = recs.get("4x4-exec")
@@ -369,6 +375,7 @@ def finalize(workdir: str):
                 round((b["tps"] / a["tps"]) / 4, 3)
                 for a, b in zip(small, big)
             ]
+            per_sample_map[leg] = per_sample
             fleet_rows.append(
                 f"| {leg} (process-isolated executors, 1×4-core JVM → "
                 f"4×4-core JVMs; {len(small)} sample(s), per-sample "
@@ -384,23 +391,72 @@ def finalize(workdir: str):
     hl_eff = effs.get("fleet-stream-iso")
     hl_thread = effs.get("stream_4to16")
     hl_thread_norm = effs.get("stream_4to16_vs_ceiling")
-    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence (round 3)
 
-## Headline: north_rule scaling ≥ 0.8 — **{hl_eff}** (PASSED)
+    # machine-readable record for bench.py's driver-visible stdout line
+    hl_samples = per_sample_map.get("fleet-stream-iso", [])
+    try:
+        canaries = [json.loads(l) for l in open(f"{workdir}/canary.jsonl")]
+    except FileNotFoundError:
+        canaries = []
+
+    def _quartiles(v):
+        v = sorted(v)
+        n = len(v)
+        if n < 4:
+            return [v[0], v[-1]] if v else None
+
+        def q(p):
+            i = p * (n - 1)
+            lo, hi = int(i), min(int(i) + 1, n - 1)
+            return round(v[lo] + (v[hi] - v[lo]) * (i - lo), 3)
+
+        return [q(0.25), q(0.75)]
+
+    counted = [c for c in canaries if c.get("verdict") == "HEALTHY"]
+    latest = {
+        "headline_efficiency": hl_eff,
+        "per_sample": hl_samples,
+        "n_samples": len(hl_samples),
+        "iqr": _quartiles(hl_samples),
+        "protocol_short": "fleet-stream-iso: 1x4-core -> 4x4-core executor "
+                          "JVMs, storage-isolated, canary-gated windows",
+        "canary_verdict": (
+            "ALL_HEALTHY" if canaries and len(counted) == len(canaries)
+            else ("GATED" if canaries else None)
+        ),
+        "canaries_run": len(canaries),
+        "canaries_healthy": len(counted),
+        "cpu_envelope": env,
+        "efficiencies": effs,
+    }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/scaling_latest.json", "w") as f:
+        json.dump(latest, f, indent=1)
+    print(f"wrote {REPO}/BENCH/scaling_latest.json", file=sys.stderr)
+
+    verdict_word = "PASSED" if (hl_eff or 0) >= 0.8 else "MISSED"
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence (round 4)
+
+## Headline: north_rule scaling ≥ 0.8 — **{hl_eff}** ({verdict_word})
 
 The north_star streaming job under the executor-scaling protocol — the
 measurement that actually models "two cluster sizes": N = one 4-core
 executor JVM on one conv-hash shard, 4N = four concurrent 4-core executor
 JVMs (one per shard), each with its own heap/GC/Python workers and its own
 output+checkpoint device (tmpfs; a real cluster's executors do not share
-one disk) — sustains **raw pooled-median efficiency {hl_eff}** over 5
-samples (median per-level throughput; per-sample range in the table below).
-The thread-scaling pair on the SAME job (one JVM, 4→16 local cores, 6 reps
-per level) lands at {hl_thread} raw, which is **{hl_thread_norm} of the
-host's own measured pure-CPU scaling envelope** (0.867 — this shared VM
-slows every core as more go active; see envelope section). Both views clear
-the ≥0.8 bar once the host's physics are accounted for; the
-executor-process view clears it raw.
+one disk) — sustains **raw pooled-median efficiency {hl_eff}** over
+{len(hl_samples)} canary-qualified samples (median per-level throughput;
+per-sample values {hl_samples}, IQR {_quartiles(hl_samples)}). Every counted
+sample's measurement window was qualified by the sustained-load canary
+(tools/load_canary.py: the same pure-CPU kernel twice at 16-way parallelism
+must hold ≥85% of its first-leg rate — the round-3 hardening that catches
+the hypervisor credit throttle short probes cannot see);
+{len(counted)}/{len(canaries)} canary runs were HEALTHY and throttled
+windows were skipped, not averaged in.
+The thread-scaling pair on the SAME job (one JVM, 4→16 local cores), where
+measured this round, lands at {hl_thread} raw / **{hl_thread_norm} of the
+host's own measured pure-CPU scaling envelope** (this shared VM slows every
+core as more go active; see envelope section).
 
 Protocol (BASELINE.md north_rule): the identical ingestion job on the same
 generated transcript input at two parallelism levels, N and 4N. One fresh
@@ -458,26 +514,28 @@ visible fraction. The 4→16 pair and the executor-process protocol are the
 honest estimators of cluster behavior; 8→32 is reported for continuity
 with round 2, not as the headline.
 
-## What changed vs round 2 (0.737 pooled, target ≥0.8)
+## What changed vs round 3 (0.914 over 5 samples, spread 0.651–0.983)
 
-1. **Bucketed state** (StreamOptions.bucket_by): the stateful operator's
-   per-group overhead (state get/put, Arrow framing, per-group pandas
-   construction — ~1.4 ms/group-call) dominated the r2 runs; keying state by
-   hash(conv_id)%{BUCKETS} amortizes it ~200× and raised raw throughput
-   5.4× (14.8k → 80k turns/s at 8 cores on the r2 input).
-2. **4× larger input** (9.6M turns): the r2 input finished in ~26 s at BOTH
-   8 and 32 cores post-bucketing — pure floor. The protocol now measures
-   steady-state work.
-3. **maxBatchesToRetainInMemory=1** and shuffle={SHUFFLE}: fewer retained
-   state versions and fewer state stores cut the non-scaling commit path.
-4. **Documented host envelope** (above) and a below-the-cliff level pair.
-5. **Storage-isolated executor fleet as the headline protocol** (VERDICT r2
-   task #1, option b): 5 pooled samples per leg with per-sample spread
-   shown; outputs/checkpoints on tmpfs model the per-executor disks a real
-   cluster brings.
-6. **Batch-close p95 at two parallelism levels** with regression budgets
-   (below; VERDICT r2 task #5) — 32-core budget 6000 ms, 8-core 9000 ms,
-   both gated in tools/stream_soak.py.
+1. **Canary-gated sampling** (VERDICT r3 task #6): every counted sample's
+   window is qualified by the sustained-load canary BEFORE measurement —
+   round 3 discovered the gate only after two re-measurement windows were
+   lost to the hypervisor credit throttle; round 4 runs it per sample via
+   ``tools/scaling_bench.py protocol`` and skips (never averages) throttled
+   windows. Canary records land in the workdir and the counted/healthy
+   ratio is published above and in BENCH/scaling_latest.json.
+2. **More samples + dispersion reporting**: target ≥8 qualified samples
+   with per-sample values and IQR published, vs round 3's 5 samples with
+   range only.
+3. **Machine-readable result** (VERDICT r3 task #1): finalize writes
+   BENCH/scaling_latest.json (headline efficiency, per-sample list, IQR,
+   canary verdict, CPU envelope) which bench.py embeds in its driver-visible
+   stdout line — the efficiency field no longer lives only in this document.
+4. **Consistent pooling statistics**: both worker templates now use the
+   same odd/even median expression (ADVICE r4).
+
+Engine configuration is unchanged from round 3 (bucketed state
+bucket_by=256 per 4-core executor, maxBatchesToRetainInMemory=1, HDFS-backed
+state provider for the bench; RocksDB remains the production default).
 
 All local-mode efficiencies remain lower bounds on a real fleet: every
 "cluster size" here shares one disk, one memory bus, and one hypervisor
@@ -508,6 +566,52 @@ above it).
     print(f"wrote {REPO}/BENCH/BASELINE.md", file=sys.stderr)
 
 
+def protocol(workdir: str, leg: str = "stream", samples: int = 8):
+    """Round-4 protocol: N canary-QUALIFIED storage-isolated fleet samples.
+
+    Per sample: (1) run the sustained-load canary (tools/load_canary.py,
+    16-way pure-CPU, two 30 s legs, hold ≥0.85) — if the window is
+    THROTTLED, record it, sleep, and retry WITHOUT measuring (a credit-
+    throttled host cannot express 4× parallel speedup; measuring there
+    reports hypervisor physics, not engine scaling); (2) if HEALTHY, run one
+    fleet sample (1×4-core executor JVM → 4×4-core executor JVMs,
+    outputs+checkpoints on tmpfs). The CPU ceiling is re-measured in the
+    SAME window (host volatility: envelopes measured hours apart disagree
+    by ±75%), then finalize() pools reps, reports the median + IQR, and
+    writes BENCH/BASELINE.md + BENCH/scaling_latest.json."""
+    import time as _t
+
+    os.makedirs(workdir, exist_ok=True)
+    if not os.path.isdir(f"{workdir}/turns"):
+        print("generating input ...", file=sys.stderr)
+        gen(800000, workdir)
+    ceiling(workdir)
+    out_root = os.environ.get("SPARK_GRAFT_FLEET_OUT", "/dev/shm/enpa-fleet")
+    os.makedirs(out_root, exist_ok=True)
+    got, attempts = 0, 0
+    while got < samples and attempts < samples * 3:
+        attempts += 1
+        c = subprocess.run(
+            [sys.executable, f"{REPO}/tools/load_canary.py",
+             "--cores", "16", "--secs", "30", "--hold", "0.85"],
+            capture_output=True, text=True, timeout=600,
+        )
+        lines = [l for l in c.stdout.splitlines() if l.startswith("CANARY ")]
+        rec = json.loads(lines[-1][len("CANARY "):]) if lines else {"verdict": "ERROR"}
+        rec["attempt"] = attempts
+        with open(f"{workdir}/canary.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"canary[{attempts}]: {rec.get('verdict')} "
+              f"hold={rec.get('hold_ratio')}", file=sys.stderr)
+        if rec.get("verdict") != "HEALTHY":
+            _t.sleep(60)
+            continue
+        fleet(workdir, leg, out_root)
+        got += 1
+        print(f"sample {got}/{samples} recorded", file=sys.stderr)
+    finalize(workdir)
+
+
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
     if cmd == "gen":
@@ -532,8 +636,15 @@ def main():
     elif cmd == "finalize":
         workdir = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_WORKDIR
         finalize(workdir)
+    elif cmd == "protocol":
+        leg = sys.argv[2] if len(sys.argv) > 2 else "stream"
+        workdir = sys.argv[3] if len(sys.argv) > 3 else DEFAULT_WORKDIR
+        samples = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        protocol(workdir, leg, samples)
     else:
-        raise SystemExit("usage: scaling_bench.py gen|run|fleet|ceiling|finalize ...")
+        raise SystemExit(
+            "usage: scaling_bench.py gen|run|fleet|ceiling|finalize|protocol ..."
+        )
 
 
 if __name__ == "__main__":
