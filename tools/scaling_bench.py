@@ -161,10 +161,17 @@ _os.makedirs(out_root, exist_ok=True)
 # size is (-XX:ActiveProcessorCount), exactly as a container CPU limit does
 # on a real cluster — otherwise every co-located JVM sizes GC/netty/thread
 # pools for all 32 host vCPUs and the 4N level oversubscribes itself.
+# spark.local.dir (shuffle + spill) goes on the SAME per-executor device as
+# checkpoints/outputs: round 4 found the shared /tmp virtual disk caps at
+# ~88 MB/s direct, so four concurrent JVMs shuffling to it serialize on the
+# device (aggregate 4N throughput BELOW the single JVM, 50% idle CPU) — a
+# real cluster's executors each bring their own shuffle disk.
 spark = get_spark(app_name=f"fleet-{{shard}}-{{leg}}", cores=4, shuffle_partitions=8,
                   extra_conf={{"spark.sql.streaming.maxBatchesToRetainInMemory": "1",
                                "spark.sql.parquet.compression.codec": "zstd",
                                "spark.driver.memory": "12g",
+                               "spark.local.dir":
+                                   f"{{out_root}}/fleet-local-{{shard}}",
                                "spark.driver.extraJavaOptions":
                                    "-XX:ActiveProcessorCount=4"}})
 path = f"{{workdir}}/shards/{{shard}}"
