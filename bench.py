@@ -84,6 +84,10 @@ def main():
         else:
             bench(name, fn)
 
+    # extended breadth ops (pytest-oracle-gated; see queries.extended_registry)
+    for name, (fn, _sql) in q.extended_registry().items():
+        bench(name, fn)
+
     # flagship e2e (the headline value)
     t0 = time.time()
     _noop_write(q.flagship(spark, SF_DIR))

@@ -84,7 +84,7 @@ def asof_join(
 
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_p")
     # one row per (key, ts): deterministic representative independent of
-    # partitioning (field-wise max over the payload struct)
+    # partitioning (lexicographically greatest payload struct)
     r = (
         right.select(*on, _ms(right_ts).alias("_t_ms"), payload)
         .groupBy(*on, "_t_ms")
