@@ -419,20 +419,28 @@ def finalize(workdir: str):
 
         return [q(0.25), q(0.75)]
 
-    counted = [c for c in canaries if c.get("verdict") == "HEALTHY"]
+    entries = [c for c in canaries if c.get("role", "entry") == "entry"]
+    counted = [c for c in entries if c.get("verdict") == "HEALTHY"]
+    try:
+        n_rejected = sum(1 for _ in open(f"{workdir}/results_rejected.jsonl")) // 2
+    except FileNotFoundError:
+        n_rejected = 0
     latest = {
         "headline_efficiency": hl_eff,
         "per_sample": hl_samples,
         "n_samples": len(hl_samples),
         "iqr": _quartiles(hl_samples),
         "protocol_short": "fleet-stream-iso: 1x4-core -> 4x4-core executor "
-                          "JVMs, storage-isolated, canary-gated windows",
+                          "JVMs, storage-isolated, canary-gated + "
+                          "canary-bracketed windows",
         "canary_verdict": (
-            "ALL_HEALTHY" if canaries and len(counted) == len(canaries)
-            else ("GATED" if canaries else None)
+            "ALL_HEALTHY" if entries and len(counted) == len(entries)
+            and not n_rejected
+            else ("GATED" if entries else None)
         ),
-        "canaries_run": len(canaries),
+        "canaries_run": len(entries),
         "canaries_healthy": len(counted),
+        "bracket_rejected_samples": n_rejected,
         "cpu_envelope": env,
         "efficiencies": effs,
     }
@@ -452,14 +460,20 @@ executor JVM on one conv-hash shard, 4N = four concurrent 4-core executor
 JVMs (one per shard), each with its own heap/GC/Python workers and its own
 output+checkpoint device (tmpfs; a real cluster's executors do not share
 one disk) — sustains **raw pooled-median efficiency {hl_eff}** over
-{len(hl_samples)} canary-qualified samples (median per-level throughput;
-per-sample values {hl_samples}, IQR {_quartiles(hl_samples)}). Every counted
-sample's measurement window was qualified by the sustained-load canary
-(tools/load_canary.py: the same pure-CPU kernel twice at 16-way parallelism
-must hold ≥85% of its first-leg rate — the round-3 hardening that catches
-the hypervisor credit throttle short probes cannot see);
-{len(counted)}/{len(canaries)} canary runs were HEALTHY and throttled
-windows were skipped, not averaged in.
+{len(hl_samples)} canary-qualified, canary-BRACKETED samples (median
+per-level throughput; per-sample values {hl_samples}, IQR
+{_quartiles(hl_samples)}). Every counted sample's window was (a) qualified
+by the sustained-load ENTRY canary (tools/load_canary.py: the same
+pure-CPU kernel twice at 16-way parallelism must hold ≥85% of its
+first-leg rate — the round-3 hardening that catches the hypervisor credit
+throttle short probes cannot see) and (b) BRACKETED by an EXIT canary:
+the sample counts only if mean host capacity at exit stayed within
+[0.85, 1.18] of entry — round 4 observed two entry canaries 6 minutes
+apart differing by 38% while each passed its own hold check, which makes
+an unbracketed sequential N→4N comparison meaningless.
+{len(counted)}/{len(entries)} entry canaries were HEALTHY;
+{n_rejected} sample(s) were bracket-rejected and moved to
+results_rejected.jsonl — skipped, never averaged in.
 The thread-scaling pair on the SAME job (one JVM, 4→16 local cores), where
 measured this round, lands at {hl_thread} raw / **{hl_thread_norm} of the
 host's own measured pure-CPU scaling envelope** (this shared VM slows every
@@ -573,19 +587,60 @@ above it).
     print(f"wrote {REPO}/BENCH/BASELINE.md", file=sys.stderr)
 
 
-def protocol(workdir: str, leg: str = "stream", samples: int = 8):
-    """Round-4 protocol: N canary-QUALIFIED storage-isolated fleet samples.
+BRACKET_DRIFT = 0.85  # host capacity must hold within this across a sample
 
-    Per sample: (1) run the sustained-load canary (tools/load_canary.py,
-    16-way pure-CPU, two 30 s legs, hold ≥0.85) — if the window is
-    THROTTLED, record it, sleep, and retry WITHOUT measuring (a credit-
-    throttled host cannot express 4× parallel speedup; measuring there
-    reports hypervisor physics, not engine scaling); (2) if HEALTHY, run one
-    fleet sample (1×4-core executor JVM → 4×4-core executor JVMs,
-    outputs+checkpoints on tmpfs). The CPU ceiling is re-measured in the
-    SAME window (host volatility: envelopes measured hours apart disagree
-    by ±75%), then finalize() pools reps, reports the median + IQR, and
-    writes BENCH/BASELINE.md + BENCH/scaling_latest.json."""
+
+def _run_canary(workdir: str, role: str, attempt: int, secs: int = 30) -> dict:
+    c = subprocess.run(
+        [sys.executable, f"{REPO}/tools/load_canary.py",
+         "--cores", "16", "--secs", str(secs), "--hold", "0.85"],
+        capture_output=True, text=True, timeout=600,
+    )
+    lines = [l for l in c.stdout.splitlines() if l.startswith("CANARY ")]
+    rec = json.loads(lines[-1][len("CANARY "):]) if lines else {"verdict": "ERROR"}
+    rec["attempt"] = attempt
+    rec["role"] = role
+    with open(f"{workdir}/canary.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(f"canary[{attempt},{role}]: {rec.get('verdict')} "
+          f"hold={rec.get('hold_ratio')} rate={rec.get('rate1')}",
+          file=sys.stderr)
+    return rec
+
+
+def _reject_last_sample(workdir: str, reason: str):
+    """Move the newest fleet sample (its 2 result lines) to the reject log."""
+    with open(f"{workdir}/results.jsonl") as f:
+        lines = f.read().splitlines()
+    kept, rejected = lines[:-2], lines[-2:]
+    with open(f"{workdir}/results.jsonl", "w") as f:
+        f.write("".join(l + "\n" for l in kept))
+    with open(f"{workdir}/results_rejected.jsonl", "a") as f:
+        for l in rejected:
+            r = json.loads(l)
+            r["rejected"] = reason
+            f.write(json.dumps(r) + "\n")
+
+
+def protocol(workdir: str, leg: str = "stream", samples: int = 8):
+    """Round-4 protocol: N canary-QUALIFIED, canary-BRACKETED,
+    storage-isolated fleet samples.
+
+    Per sample: (1) ENTRY canary (tools/load_canary.py, 16-way pure-CPU,
+    two 30 s legs, hold ≥0.85) — a THROTTLED window is recorded, slept
+    through, and retried WITHOUT measuring (a credit-throttled host cannot
+    express 4× parallel speedup; measuring there reports hypervisor
+    physics, not engine scaling); (2) one fleet sample (1×4-core executor
+    JVM → 4×4-core executor JVMs, shuffle+checkpoints+outputs on
+    per-executor tmpfs); (3) EXIT canary — the sample COUNTS only if host
+    capacity held across it (mean exit rate within [0.85, 1/0.85] of the
+    entry rate). Round 4 found windows where two entry canaries 6 minutes
+    apart differed by 38% while EACH passed its own hold check — the
+    sequential N→4N comparison is meaningless if capacity moves between
+    the legs, so drifted samples are moved to results_rejected.jsonl (with
+    the reason), never averaged in. The CPU ceiling is re-measured in the
+    SAME window; finalize() pools accepted samples, reports median + IQR,
+    and writes BENCH/BASELINE.md + BENCH/scaling_latest.json."""
     import time as _t
 
     os.makedirs(workdir, exist_ok=True)
@@ -598,24 +653,27 @@ def protocol(workdir: str, leg: str = "stream", samples: int = 8):
     got, attempts = 0, 0
     while got < samples and attempts < samples * 3:
         attempts += 1
-        c = subprocess.run(
-            [sys.executable, f"{REPO}/tools/load_canary.py",
-             "--cores", "16", "--secs", "30", "--hold", "0.85"],
-            capture_output=True, text=True, timeout=600,
-        )
-        lines = [l for l in c.stdout.splitlines() if l.startswith("CANARY ")]
-        rec = json.loads(lines[-1][len("CANARY "):]) if lines else {"verdict": "ERROR"}
-        rec["attempt"] = attempts
-        with open(f"{workdir}/canary.jsonl", "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(f"canary[{attempts}]: {rec.get('verdict')} "
-              f"hold={rec.get('hold_ratio')}", file=sys.stderr)
-        if rec.get("verdict") != "HEALTHY":
+        entry = _run_canary(workdir, "entry", attempts)
+        if entry.get("verdict") != "HEALTHY":
             _t.sleep(60)
             continue
         fleet(workdir, leg, out_root)
+        exit_ = _run_canary(workdir, "exit", attempts)
+        e_rate = (entry.get("rate1", 0) + entry.get("rate2", 0)) / 2
+        x_rate = (exit_.get("rate1", 0) + exit_.get("rate2", 0)) / 2
+        drift = x_rate / e_rate if e_rate else 0.0
+        if not (BRACKET_DRIFT <= drift <= 1 / BRACKET_DRIFT):
+            _reject_last_sample(
+                workdir, f"bracket drift {drift:.3f} outside "
+                         f"[{BRACKET_DRIFT}, {1/BRACKET_DRIFT:.3f}]"
+            )
+            print(f"sample REJECTED (host capacity drifted {drift:.3f}× "
+                  f"across the sample)", file=sys.stderr)
+            _t.sleep(60)
+            continue
         got += 1
-        print(f"sample {got}/{samples} recorded", file=sys.stderr)
+        print(f"sample {got}/{samples} recorded (bracket drift {drift:.3f})",
+              file=sys.stderr)
     finalize(workdir)
 
 
