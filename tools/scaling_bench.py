@@ -166,14 +166,22 @@ _os.makedirs(out_root, exist_ok=True)
 # ~88 MB/s direct, so four concurrent JVMs shuffling to it serialize on the
 # device (aggregate 4N throughput BELOW the single JVM, 50% idle CPU) — a
 # real cluster's executors each bring their own shuffle disk.
-spark = get_spark(app_name=f"fleet-{{shard}}-{{leg}}", cores=4, shuffle_partitions=8,
+# Executor width (cores per JVM) is a protocol parameter: the hypervisor
+# preempts Spark's thread-heavy profile under sustained 16-core load
+# (5-14% steal, JVMs held to ~1.6 of 4 cores) even in windows where the
+# pure-CPU canary holds — 2-core executors keep the 4N level at 8 active
+# cores, inside the host's stable envelope, while measuring the same
+# 1-executor → 4-executor scaling.
+ex_cores = int(_os.environ.get("SPARK_GRAFT_FLEET_CORES", "4"))
+spark = get_spark(app_name=f"fleet-{{shard}}-{{leg}}", cores=ex_cores,
+                  shuffle_partitions=2 * ex_cores,
                   extra_conf={{"spark.sql.streaming.maxBatchesToRetainInMemory": "1",
                                "spark.sql.parquet.compression.codec": "zstd",
                                "spark.driver.memory": "12g",
                                "spark.local.dir":
                                    f"{{out_root}}/fleet-local-{{shard}}",
                                "spark.driver.extraJavaOptions":
-                                   "-XX:ActiveProcessorCount=4"}})
+                                   f"-XX:ActiveProcessorCount={{ex_cores}}"}})
 path = f"{{workdir}}/shards/{{shard}}"
 warm = spark.read.parquet(path)
 warm.write.format("noop").mode("overwrite").save()
@@ -198,17 +206,46 @@ def one_stream(tag):
                                StreamOptions({stream_opts_fleet}),
                                rocksdb_state=False)
     q.awaitTermination(3600)
-    return time.time() - t0
+    wall = time.time() - t0
+    # per-batch telemetry: where does the wall go (planning / addBatch /
+    # state commit), per run, so warm-vs-measured and N-vs-4N phase
+    # asymmetries are visible instead of inferred from file mtimes
+    prog = []
+    for p in q.recentProgress:
+        d = p.get("durationMs", {{}})
+        so = (p.get("stateOperators") or [{{}}])[0]
+        prog.append({{"b": p.get("batchId"), "rows": p.get("numInputRows"),
+                      "trig": d.get("triggerExecution"),
+                      "add": d.get("addBatch"),
+                      "upd_ms": so.get("allUpdatesTimeMs"),
+                      "rm_ms": so.get("allRemovalsTimeMs"),
+                      "cm_ms": so.get("commitTimeMs")}})
+    print(f"PROG {{json.dumps({{'shard': shard, 'tag': tag, 'wall': round(wall, 2), 'batches': prog}})}}", flush=True)
+    return wall
 
-import os as _os
-_reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+_mode = sys.argv[5] if len(sys.argv) > 5 else "warm+reps"
 fn = one_batch if leg == "batch" else one_stream
-fn("warm")  # JIT + page-cache warm-up, discarded
-times = sorted(fn(f"m{{i}}") for i in range(_reps))
-# same odd/even median expression as the single-JVM leg template
-secs = times[_reps // 2] if _reps % 2 else sum(times[_reps//2-1:_reps//2+1]) / 2
-print("FLEET " + json.dumps({{"shard": shard, "n": n, "secs": round(secs, 2),
-                              "reps": times}}))
+if _mode == "single":
+    # fresh-JVM-per-run protocol: exactly ONE streaming query in this JVM.
+    # Round 4 measured the two-queries-per-JVM pattern collapsing 5× on the
+    # SECOND query under 4-way JVM concurrency (warm 63-69 s → measured
+    # 341-354 s, the extra time in addBatch outside state processing) —
+    # terminated-query state-store providers stay cached under the reused
+    # checkpoint path and poison the next query. The warm pass therefore
+    # runs in its own discarded JVM (OS page cache persists across
+    # processes; JIT cost is identical at N and 4N and cancels in the
+    # efficiency ratio).
+    w = fn("solo")
+    print("FLEET " + json.dumps({{"shard": shard, "n": n, "secs": round(w, 2),
+                                  "reps": [w]}}))
+else:
+    _reps = int(_os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    fn("warm")  # JIT + page-cache warm-up, discarded
+    times = sorted(fn(f"m{{i}}") for i in range(_reps))
+    # same odd/even median expression as the single-JVM leg template
+    secs = times[_reps // 2] if _reps % 2 else sum(times[_reps//2-1:_reps//2+1]) / 2
+    print("FLEET " + json.dumps({{"shard": shard, "n": n, "secs": round(secs, 2),
+                                  "reps": times}}))
 """
 
 
@@ -243,11 +280,11 @@ print("sharded")
 
     fleet_opts = STREAM_OPTS.replace("bucket_by=1024", "bucket_by=256")
 
-    def launch(shard):
+    def launch(shard, mode="warm+reps"):
         return subprocess.Popen(
             [sys.executable, "-c",
              FLEET_WORKER.format(repo=REPO, stream_opts_fleet=fleet_opts),
-             str(shard), workdir, leg, out_root or workdir],
+             str(shard), workdir, leg, out_root or workdir, mode],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
             cwd=REPO,
         )
@@ -260,16 +297,28 @@ print("sharded")
                 json.loads(l[len("FLEET "):])
                 for l in out.splitlines() if l.startswith("FLEET ")
             )
+            with open(f"{workdir}/progress.jsonl", "a") as f:
+                for l in out.splitlines():
+                    if l.startswith("PROG "):
+                        f.write(l[len("PROG "):] + "\n")
         return recs
 
-    # N: one executor on shard 0 (warm-up + 3 reps inside the worker)
-    r1 = collect([launch(0)])
+    fresh = os.environ.get("SPARK_GRAFT_FLEET_FRESH", "1") == "1"
+    if fresh:
+        # fresh-JVM-per-run (see FLEET_WORKER "single" mode): warm JVMs are
+        # launched and DISCARDED at each level (page cache persists across
+        # processes), then one clean JVM per executor takes the measurement
+        collect([launch(0, "single")])  # N warm JVM, discarded
+        r1 = collect([launch(0, "single")])
+        collect([launch(s, "single") for s in range(4)])  # 4N warm, discarded
+        r4 = collect([launch(s, "single") for s in range(4)])
+    else:
+        # N: one executor on shard 0 (warm-up + reps inside one JVM)
+        r1 = collect([launch(0)])
+        # 4N: four executors concurrently, one shard each; wall = slowest
+        r4 = collect([launch(s) for s in range(4)])
     n_secs = r1[0]["secs"]
     n_rows = r1[0]["n"]
-
-    # 4N: four executors concurrently, one shard each; wall = slowest
-    procs = [launch(s) for s in range(4)]
-    r4 = collect(procs)
     wall4 = max(r["secs"] for r in r4)
     rows4 = sum(r["n"] for r in r4)
 
@@ -277,9 +326,10 @@ print("sharded")
     tps_4n = rows4 / wall4
     eff = round((tps_4n / tps_n) / 4, 3)
     iso = "-iso" if out_root else ""
-    rec = {"cores": "1x4-exec", "leg": f"fleet-{leg}{iso}", "n_turns": n_rows,
+    xc = int(os.environ.get("SPARK_GRAFT_FLEET_CORES", "4"))
+    rec = {"cores": f"1x{xc}-exec", "leg": f"fleet-{leg}{iso}", "n_turns": n_rows,
            "secs": n_secs, "tps": round(tps_n, 1)}
-    rec4 = {"cores": "4x4-exec", "leg": f"fleet-{leg}{iso}", "n_turns": rows4,
+    rec4 = {"cores": f"4x{xc}-exec", "leg": f"fleet-{leg}{iso}", "n_turns": rows4,
             "secs": wall4, "tps": round(tps_4n, 1)}
     with open(f"{workdir}/results.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
@@ -331,7 +381,13 @@ def finalize(workdir: str):
         p95_recs = []
 
     def ceil_for(n_small):
-        return env.get(f"ceiling_{n_small}_to_{n_small * 4}")
+        pre = env.get(f"ceiling_{n_small}_to_{n_small * 4}")
+        if pre is not None:
+            return pre
+        # derive any active-core pair from the measured per-task envelope
+        pt = env.get("per_task_sec", {})
+        a, b = pt.get(str(n_small)), pt.get(str(n_small * 4))
+        return round(a / b, 3) if a and b else None
 
     def norm(eff, ceiling):
         return round(min(eff / ceiling, 1.0), 3) if ceiling else None
@@ -369,13 +425,18 @@ def finalize(workdir: str):
     fleet_rows = []
     per_sample_map: dict[str, list[float]] = {}
     for leg, recs in sorted(fleet_recs.items()):
-        small = recs.get("1x4-exec")
-        big = recs.get("4x4-exec")
+        # executor width is part of the cores key: "1x<c>-exec" / "4x<c>-exec"
+        small_key = next((k for k in recs if k.startswith("1x")), None)
+        big_key = next((k for k in recs if k.startswith("4x")), None)
+        small = recs.get(small_key) if small_key else None
+        big = recs.get(big_key) if big_key else None
         if small and big:
+            xc = int(small_key.split("x")[1].split("-")[0])
             tps_s = _med(small, "tps")
             tps_b = _med(big, "tps")
             e = round((tps_b / tps_s) / 4, 3)
-            nrm = norm(e, ceil_for(4))  # fleet runs 4 → 16 active cores
+            # fleet runs xc → 4*xc active cores
+            nrm = norm(e, ceil_for(xc))
             effs[f"{leg}"] = e
             effs[f"{leg}_vs_ceiling"] = nrm
             per_sample = [
@@ -384,12 +445,12 @@ def finalize(workdir: str):
             ]
             per_sample_map[leg] = per_sample
             fleet_rows.append(
-                f"| {leg} (process-isolated executors, 1×4-core JVM → "
-                f"4×4-core JVMs; {len(small)} sample(s), per-sample "
+                f"| {leg} (process-isolated executors, 1×{xc}-core JVM → "
+                f"4×{xc}-core JVMs; {len(small)} sample(s), per-sample "
                 f"{per_sample}) | "
                 f"{tps_s:,.0f} turns/s ({_med(small, 'secs'):.1f} s) | "
                 f"{tps_b:,.0f} turns/s ({_med(big, 'secs'):.1f} s wall) | "
-                f"{e} | {ceil_for(4)} | **{nrm}** |"
+                f"{e} | {ceil_for(xc)} | **{nrm}** |"
             )
 
     summary = json.dumps({"efficiencies": effs, "cpu_envelope": env})
@@ -464,8 +525,8 @@ one disk) — sustains **raw pooled-median efficiency {hl_eff}** over
 per-level throughput; per-sample values {hl_samples}, IQR
 {_quartiles(hl_samples)}). Every counted sample's window was (a) qualified
 by the sustained-load ENTRY canary (tools/load_canary.py: the same
-pure-CPU kernel twice at 16-way parallelism must hold ≥85% of its
-first-leg rate — the round-3 hardening that catches the hypervisor credit
+pure-CPU kernel twice at the 4N level's active-core count must hold ≥85%
+of its first-leg rate — the round-3 hardening that catches the hypervisor credit
 throttle short probes cannot see) and (b) BRACKETED by an EXIT canary:
 the sample counts only if mean host capacity at exit stayed within
 [0.85, 1.18] of entry — round 4 observed two entry canaries 6 minutes
@@ -591,9 +652,11 @@ BRACKET_DRIFT = 0.85  # host capacity must hold within this across a sample
 
 
 def _run_canary(workdir: str, role: str, attempt: int, secs: int = 30) -> dict:
+    # probe at the 4N level's active-core count (4 executors × width)
+    cores = 4 * int(os.environ.get("SPARK_GRAFT_FLEET_CORES", "4"))
     c = subprocess.run(
         [sys.executable, f"{REPO}/tools/load_canary.py",
-         "--cores", "16", "--secs", str(secs), "--hold", "0.85"],
+         "--cores", str(cores), "--secs", str(secs), "--hold", "0.85"],
         capture_output=True, text=True, timeout=600,
     )
     lines = [l for l in c.stdout.splitlines() if l.startswith("CANARY ")]
