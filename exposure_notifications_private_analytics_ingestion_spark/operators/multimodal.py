@@ -5,16 +5,22 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas UDFs over
 ``mapInPandas`` so each task processes whole record batches (the only sane
 shape for CPU-bound media work on Spark).
 
-The container has no image libraries (PIL/libvips), but the decode kernel is
-REAL where the stdlib suffices: ``decode_media`` parses PNG IHDR chunks
-(``struct`` + ``zlib.crc32`` verification) and walks JPEG marker segments to
-the SOF0/1/2 frame header, returning actual width / height / bit depth /
-channel count from the bytes. ``encode_png`` emits spec-valid PNG files
-(signature + IHDR + zlib-deflated scanlines + IEND, all CRC'd) and
-``encode_jpeg_header`` emits a real JFIF marker stream through SOF0 — the
-deterministic fixture generators for ``attach_media``. Only genuinely unknown
-formats fall back to a clearly-marked stub row (``ok=False``); full
-pixel-level decode of arbitrary images would still need PIL/libvips.
+The container has no media libraries (PIL/libvips/ffmpeg), but the decode
+kernel is REAL where the stdlib suffices: ``decode_media`` parses PNG IHDR
+chunks (``struct`` + ``zlib.crc32`` verification), walks JPEG marker segments
+to the SOF0/1/2 frame header, and reads the GIF87a/89a logical screen
+descriptor, returning actual width / height / bit depth / channel count from
+the bytes. ``encode_png`` emits spec-valid PNG files (signature + IHDR +
+zlib-deflated scanlines + IEND, all CRC'd) and ``encode_jpeg_header`` emits a
+real JFIF marker stream through SOF0 — the deterministic fixture generators
+for ``attach_media``. Audio rides the same way: ``encode_wav`` emits RIFF/WAVE
+files with real PCM ramp samples and ``decode_audio`` parses the fmt/data
+chunk chain (rate, channels, bits, frame count, duration). Video metadata is
+an ISO-BMFF (MP4) box walk: ``encode_mp4_header`` emits ftyp + moov(mvhd,
+trak(tkhd)) and ``decode_video`` recursively walks the box tree for
+timescale/duration/width/height. Only genuinely unknown formats fall back to
+a clearly-marked stub row (``ok=False``); pixel/sample-level decode of
+arbitrary real-world files would still need PIL/libvips/ffmpeg.
 
 Reference parity: the reference pipeline (Java/Beam, 1,852 LoC) has no media
 operators at all — this is driver-brief engine breadth, not parity.
@@ -34,6 +40,14 @@ MEDIA_SCHEMA = "doc_id long, media binary, media_type string, n_bytes long"
 FEATURES_SCHEMA = (
     "doc_id long, format string, width int, height int, "
     "bit_depth int, channels int, ok boolean"
+)
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, format string, codec string, sample_rate int, channels int, "
+    "bits int, n_frames long, duration_ms long, ok boolean"
+)
+VIDEO_FEATURES_SCHEMA = (
+    "doc_id long, format string, width int, height int, duration_ms long, "
+    "timescale int, ok boolean"
 )
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -90,6 +104,78 @@ def encode_jpeg_header(width: int, height: int) -> bytes:
     return b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC0, sof0) + b"\xff\xd9"
 
 
+def encode_gif(width: int, height: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer: real signature
+    and little-endian dimensions (spec §17-18), no color table, no image
+    data — a header fixture, like ``encode_jpeg_header``."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"  # no GCT, bg color 0, aspect 0
+        + b"\x3b"  # trailer
+    )
+
+
+def encode_wav(
+    sample_rate: int, n_frames: int, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Spec-valid RIFF/WAVE PCM file: RIFF header, fmt chunk (PCM format 1,
+    real byte-rate/block-align math), and a data chunk of deterministic ramp
+    samples — playable by any conforming reader."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    amp = (1 << (bits - 1)) - 1
+    data = b"".join(
+        struct.pack("<h" if bits == 16 else "<b", ((i * 37) % amp) - amp // 2)
+        for i in range(n_frames * channels)
+    )
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_len)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def encode_mp4_header(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Minimal ISO-BMFF (MP4) metadata stream: ftyp + moov containing a
+    version-0 mvhd (timescale, duration) and one trak/tkhd with 16.16
+    fixed-point width/height — the boxes every real mp4 parser reads for
+    stream metadata. No mdat, so it is a header fixture, not playable
+    media."""
+    duration = duration_ms * timescale // 1000
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH2x8x36xI", 0x00010000, 0x0100, 0)  # rate, volume, ...
+        + b"\x00" * 20,  # remaining matrix/predefined + next_track_id slot
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)  # times, track 1
+        + b"\x00" * 52  # reserved, layer, volume, matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -144,6 +230,18 @@ def decode_media(buf: bytes, strict: bool = False) -> dict:
                 }
             i += 2 + seg_len
         raise ValueError("JPEG: no SOF marker found")
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        if len(buf) < 10:
+            raise ValueError("GIF: truncated logical screen descriptor")
+        width, height = struct.unpack("<HH", buf[6:10])
+        return {
+            "format": "gif",
+            "width": width,
+            "height": height,
+            "bit_depth": 8,
+            "channels": 1,  # palette-indexed
+            "ok": True,
+        }
     if strict:
         raise ValueError(f"unknown media format (leading bytes {buf[:4]!r})")
     return {
@@ -154,6 +252,90 @@ def decode_media(buf: bytes, strict: bool = False) -> dict:
         "channels": 0,
         "ok": False,
     }
+
+
+def decode_audio(buf: bytes, strict: bool = False) -> dict:
+    """Parse RIFF/WAVE metadata by walking the chunk chain (spec: 8-byte
+    chunk headers, word-aligned): reads the fmt chunk for format / channels /
+    rate / bits and the data chunk length for the frame count and duration.
+    Real math over real bytes; unknown formats stub out like
+    ``decode_media``."""
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        i = 12
+        fmt = None
+        data_len = None
+        while i + 8 <= len(buf):
+            ctype = buf[i : i + 4]
+            (clen,) = struct.unpack("<I", buf[i + 4 : i + 8])
+            if ctype == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", buf[i + 8 : i + 24])
+            elif ctype == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data_len is None:
+            raise ValueError("WAV: missing fmt or data chunk")
+        audio_fmt, channels, rate, _byte_rate, block_align, bits = fmt
+        n_frames = data_len // block_align if block_align else 0
+        return {
+            "format": "wav",
+            "codec": "pcm" if audio_fmt == 1 else f"fmt{audio_fmt}",
+            "sample_rate": rate,
+            "channels": channels,
+            "bits": bits,
+            "n_frames": n_frames,
+            "duration_ms": (n_frames * 1000) // rate if rate else 0,
+            "ok": True,
+        }
+    if strict:
+        raise ValueError(f"unknown audio format (leading bytes {buf[:4]!r})")
+    return {
+        "format": "unknown", "codec": "", "sample_rate": 0, "channels": 0,
+        "bits": 0, "n_frames": 0, "duration_ms": 0, "ok": False,
+    }
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each ISO-BMFF box in
+    [start, end); 32-bit sizes only (size 0/1 extensions raise — our fixtures
+    and any small header stream never need 64-bit boxes)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", buf[i : i + 4])
+        btype = buf[i + 4 : i + 8]
+        if size < 8:
+            raise ValueError(f"MP4: unsupported box size {size} at {i}")
+        yield btype, i + 8, i + size
+        i += size
+
+
+def decode_video(buf: bytes, strict: bool = False) -> dict:
+    """Parse MP4 (ISO-BMFF) stream metadata by recursively walking the box
+    tree: mvhd yields timescale/duration, the first tkhd yields 16.16
+    fixed-point width/height — the same boxes ffprobe reads for stream
+    info."""
+    boxes = dict((t, (s, e)) for t, s, e in _walk_boxes(buf, 0, len(buf)))
+    if b"ftyp" in boxes and b"moov" in boxes:
+        out = {"format": "mp4", "width": 0, "height": 0, "duration_ms": 0,
+               "timescale": 0, "ok": True}
+        ms, me = boxes[b"moov"]
+        for btype, s, e in _walk_boxes(buf, ms, me):
+            if btype == b"mvhd":
+                version = buf[s]
+                if version != 0:
+                    raise ValueError("MP4: only version-0 mvhd supported")
+                _, _, timescale, duration = struct.unpack(">IIII", buf[s + 4 : s + 20])
+                out["timescale"] = timescale
+                out["duration_ms"] = duration * 1000 // timescale if timescale else 0
+            elif btype == b"trak" and not out["width"]:
+                for t2, s2, e2 in _walk_boxes(buf, s, e):
+                    if t2 == b"tkhd":
+                        w_fixed, h_fixed = struct.unpack(">II", buf[e2 - 8 : e2])
+                        out["width"], out["height"] = w_fixed >> 16, h_fixed >> 16
+        return out
+    if strict:
+        raise ValueError(f"unknown video format (leading bytes {buf[:8]!r})")
+    return {"format": "unknown", "width": 0, "height": 0, "duration_ms": 0,
+            "timescale": 0, "ok": False}
 
 
 # ------------------------------------------------------------ Spark plumbing
@@ -167,9 +349,9 @@ def _media_dims(doc_id: int) -> tuple[int, int]:
 
 
 def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Synthesize a real binary media column per document: even doc_ids get
-    a spec-valid grayscale PNG, odd doc_ids a JFIF/SOF0 JPEG header — both
-    with deterministic dimensions derived from doc_id. Runs as one
+    """Synthesize a real binary media column per document: doc_id % 3 picks
+    a spec-valid grayscale PNG, a JFIF/SOF0 JPEG header, or a GIF89a header
+    — all with deterministic dimensions derived from doc_id. Runs as one
     ``mapInPandas`` projection (narrow, no shuffle); at 100 TB the same
     plumbing would read the bytes from the lake instead of generating them."""
 
@@ -178,12 +360,16 @@ def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             media, mtype = [], []
             for doc_id in pdf[id_col]:
                 w, h = _media_dims(doc_id)
-                if int(doc_id) % 2 == 0:
+                pick = int(doc_id) % 3
+                if pick == 0:
                     media.append(encode_png(w, h, gray=int(doc_id) % 256))
                     mtype.append("image/png")
-                else:
+                elif pick == 1:
                     media.append(encode_jpeg_header(w, h))
                     mtype.append("image/jpeg")
+                else:
+                    media.append(encode_gif(w, h))
+                    mtype.append("image/gif")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -194,6 +380,127 @@ def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def _audio_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic audio fixture parameters, SQL-expressible for the
+    oracle: rate ∈ {8,12,16,22.05,24} kHz by doc_id % 5, frames =
+    doc_id % 900 + 100, channels = doc_id % 2 + 1."""
+    rates = (8000, 12000, 16000, 22050, 24000)
+    return rates[int(doc_id) % 5], int(doc_id) % 900 + 100, int(doc_id) % 2 + 1
+
+
+def _video_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic video fixture parameters: width = doc_id % 1280 + 16,
+    height = (doc_id * 3) % 720 + 16, duration_ms = (doc_id % 3600) * 100 +
+    1000."""
+    return (
+        int(doc_id) % 1280 + 16,
+        (int(doc_id) * 3) % 720 + 16,
+        (int(doc_id) % 3600) * 100 + 1000,
+    )
+
+
+def attach_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real RIFF/WAVE PCM column per document (see
+    ``_audio_params``); same narrow ``mapInPandas`` shape as
+    ``attach_media``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            params = [_audio_params(d) for d in pdf[id_col]]
+            media = [encode_wav(r, n, channels=c) for r, n, c in params]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": media,
+                    "media_type": ["audio/wav"] * len(media),
+                    "n_bytes": [len(b) for b in media],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def attach_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real MP4 (ftyp+moov) metadata stream per document (see
+    ``_video_params``)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = [encode_mp4_header(*_video_params(d)) for d in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media": media,
+                    "media_type": ["video/mp4"] * len(media),
+                    "n_bytes": [len(b) for b in media],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched RIFF chunk-walk over the binary column."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media"].map(lambda b: decode_audio(bytes(b), strict))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": feats.map(lambda f: f["format"]),
+                    "codec": feats.map(lambda f: f["codec"]),
+                    "sample_rate": feats.map(lambda f: f["sample_rate"]).astype("int32"),
+                    "channels": feats.map(lambda f: f["channels"]).astype("int32"),
+                    "bits": feats.map(lambda f: f["bits"]).astype("int32"),
+                    "n_frames": feats.map(lambda f: f["n_frames"]).astype("int64"),
+                    "duration_ms": feats.map(lambda f: f["duration_ms"]).astype("int64"),
+                    "ok": feats.map(lambda f: f["ok"]),
+                }
+            )
+
+    return df.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def extract_video_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Arrow-batched ISO-BMFF box walk over the binary column."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["media"].map(lambda b: decode_video(bytes(b), strict))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": feats.map(lambda f: f["format"]),
+                    "width": feats.map(lambda f: f["width"]).astype("int32"),
+                    "height": feats.map(lambda f: f["height"]).astype("int32"),
+                    "duration_ms": feats.map(lambda f: f["duration_ms"]).astype("int64"),
+                    "timescale": feats.map(lambda f: f["timescale"]).astype("int32"),
+                    "ok": feats.map(lambda f: f["ok"]),
+                }
+            )
+
+    return df.mapInPandas(op, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def frame_sample_points(features: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan: one row per (doc_id, sample_ms) at a fixed
+    cadence over [0, duration_ms). Pure JVM ``sequence`` + ``explode`` —
+    the expensive part of real frame extraction (seek + decode at each
+    sample point) would slot into a ``mapInPandas`` kernel downstream, but
+    the sampling SCHEDULE itself never needs Python."""
+    return features.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("duration_ms") - 1).cast("long"),
+                F.lit(int(every_ms)).cast("long"),
+            )
+        ).alias("sample_ms"),
+    )
 
 
 def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:

@@ -26,7 +26,15 @@ from .operators.doc_dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .operators.multimodal import attach_media, extract_features
+from .operators.multimodal import (
+    attach_audio,
+    attach_media,
+    attach_video,
+    extract_audio_features,
+    extract_features,
+    extract_video_features,
+    frame_sample_points,
+)
 from .operators.similarity import cosine_pairs, cosine_topk, ivf_topk, lsh_ann_topk
 from .operators.text_analysis import (
     STOPWORDS,
@@ -1136,17 +1144,70 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(attach_media(docs), strict=True)
 
 
-# the oracle predicts what a correct PNG-IHDR / JPEG-SOF parse must return
-# for the deterministic fixtures attach_media generates (see _media_dims)
+# the oracle predicts what a correct PNG-IHDR / JPEG-SOF / GIF-LSD parse
+# must return for the deterministic fixtures attach_media generates (see
+# _media_dims; doc_id % 3 picks the format)
 SQL_MULTIMODAL = """
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
        (doc_id % 640 + 1)::INT AS width,
        ((doc_id * 7) % 480 + 1)::INT AS height,
        8::INT AS bit_depth,
-       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::INT AS channels,
+       (CASE doc_id % 3 WHEN 1 THEN 3 ELSE 1 END)::INT AS channels,
        true AS ok
 FROM documents
+"""
+
+
+def q_audio_features(spark, sf_dir):
+    # strict=True: every fixture is a real RIFF/WAVE PCM file, so the chunk
+    # walker must parse fmt + data (fallback rows would hash-mismatch the
+    # oracle's predicted rate/frame math). See multimodal._audio_params.
+    docs = _read(spark, sf_dir, "documents")
+    return extract_audio_features(attach_audio(docs), strict=True)
+
+
+SQL_AUDIO_FEATURES = """
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 12000 WHEN 2 THEN 16000
+               WHEN 3 THEN 22050 ELSE 24000 END) AS rate,
+         (doc_id % 900 + 100) AS n_frames,
+         (doc_id % 2 + 1) AS channels
+  FROM documents
+)
+SELECT doc_id, 'wav' AS format, 'pcm' AS codec, rate::INT AS sample_rate,
+       channels::INT AS channels, 16::INT AS bits, n_frames::BIGINT AS n_frames,
+       (n_frames * 1000 // rate)::BIGINT AS duration_ms, true AS ok
+FROM p
+"""
+
+
+def q_video_frame_samples(spark, sf_dir):
+    # MP4 box walk (mvhd/tkhd) then a pure-JVM sampling schedule: one row
+    # per (doc_id, sample_ms) at 1 Hz over the parsed duration. See
+    # multimodal._video_params for the oracle-predictable fixture math.
+    docs = _read(spark, sf_dir, "documents")
+    feats = extract_video_features(attach_video(docs), strict=True)
+    pts = frame_sample_points(feats, every_ms=1000)
+    return pts.join(
+        feats.select("doc_id", "width", "height"), "doc_id"
+    ).select("doc_id", "sample_ms", "width", "height")
+
+
+SQL_VIDEO_FRAME_SAMPLES = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id % 1280 + 16) AS width,
+         ((doc_id * 3) % 720 + 16) AS height,
+         ((doc_id % 3600) * 100 + 1000) AS duration_ms
+  FROM documents
+)
+SELECT doc_id, s.sample_ms::BIGINT AS sample_ms,
+       width::INT AS width, height::INT AS height
+FROM p, LATERAL (
+  SELECT unnest(range(0, duration_ms, 1000)) AS sample_ms
+) s
 """
 
 
@@ -1821,6 +1882,8 @@ def extended_registry() -> dict[str, tuple]:
         "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
         "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
+        "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+        "video_frame_samples": (q_video_frame_samples, SQL_VIDEO_FRAME_SAMPLES),
     }
 
 

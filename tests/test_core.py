@@ -329,9 +329,19 @@ def test_multimodal_decode_real(spark):
     with _pytest.raises(ValueError, match="CRC"):
         decode_media(bytes(bad), strict=True)
     with _pytest.raises(ValueError, match="unknown media"):
-        decode_media(b"GIF89a....", strict=True)
-    fb = decode_media(b"GIF89a....", strict=False)
+        decode_media(b"BM......", strict=True)
+    fb = decode_media(b"BM......", strict=False)
     assert fb["format"] == "unknown" and fb["ok"] is False
+
+    # GIF logical screen descriptor is a real parse now
+    from exposure_notifications_private_analytics_ingestion_spark.operators.multimodal import (
+        encode_gif,
+    )
+
+    g = decode_media(encode_gif(320, 200), strict=True)
+    assert (g["format"], g["width"], g["height"]) == ("gif", 320, 200)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_media(b"GIF89a..", strict=True)
 
     # end-to-end through the mapInPandas plumbing, strict (no fallback rows)
     docs = spark.range(6).select(F.col("id").alias("doc_id"))
@@ -340,5 +350,74 @@ def test_multimodal_decode_real(spark):
         for r in extract_features(attach_media(docs), strict=True).collect()
     }
     assert rows[0]["format"] == "png" and rows[1]["format"] == "jpeg"
+    assert rows[2]["format"] == "gif"
     assert rows[4]["width"] == 4 % 640 + 1 and rows[4]["height"] == (4 * 7) % 480 + 1
     assert all(r["ok"] for r in rows.values())
+
+
+def test_audio_video_decode_real(spark):
+    """WAV chunk-walk and MP4 box-walk parse REAL bytes: round-tripped
+    rate/frames/dims, word-aligned chunk skipping, strict rejection of
+    unknown formats, and the pure-JVM frame-sampling schedule."""
+    import pytest as _pytest
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.multimodal import (
+        attach_audio,
+        attach_video,
+        decode_audio,
+        decode_video,
+        encode_mp4_header,
+        encode_wav,
+        extract_audio_features,
+        extract_video_features,
+        frame_sample_points,
+    )
+
+    wav = encode_wav(16000, 4000, channels=2, bits=16)
+    a = decode_audio(wav, strict=True)
+    assert (a["format"], a["codec"], a["sample_rate"], a["channels"], a["bits"]) == (
+        "wav", "pcm", 16000, 2, 16,
+    )
+    assert a["n_frames"] == 4000 and a["duration_ms"] == 250
+    # chunk chain survives an extra odd-length chunk before data (word align)
+    import struct as _struct
+
+    extra = b"LIST" + _struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = wav[:12] + extra + wav[12:]
+    riff_fixed = b"RIFF" + _struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_audio(riff_fixed, strict=True)["n_frames"] == 4000
+    with _pytest.raises(ValueError, match="unknown audio"):
+        decode_audio(b"OggS....", strict=True)
+
+    mp4 = encode_mp4_header(1920, 1080, duration_ms=90000)
+    v = decode_video(mp4, strict=True)
+    assert (v["format"], v["width"], v["height"], v["duration_ms"]) == (
+        "mp4", 1920, 1080, 90000,
+    )
+    with _pytest.raises(ValueError, match="unknown video"):
+        decode_video(b"\x00\x00\x00\x08free", strict=True)
+
+    # end-to-end plumbing: params derived from doc_id, all strict-decoded
+    docs = spark.range(7).select(F.col("id").alias("doc_id"))
+    arows = {
+        r["doc_id"]: r
+        for r in extract_audio_features(attach_audio(docs), strict=True).collect()
+    }
+    assert arows[3]["sample_rate"] == 22050 and arows[3]["channels"] == 2
+    assert arows[6]["n_frames"] == 6 % 900 + 100
+    assert all(r["ok"] for r in arows.values())
+
+    feats = extract_video_features(attach_video(docs), strict=True)
+    vrows = {r["doc_id"]: r for r in feats.collect()}
+    assert vrows[5]["width"] == 5 % 1280 + 16
+    assert vrows[5]["duration_ms"] == (5 % 3600) * 100 + 1000
+    # sampling schedule: ceil(duration/1000) points per doc, starts at 0
+    pts = frame_sample_points(feats, every_ms=1000)
+    cnt = {r["doc_id"]: r["n"] for r in pts.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    for d in range(7):
+        dur = (d % 3600) * 100 + 1000
+        assert cnt[d] == -(-dur // 1000)
+    # schedule is JVM-only: no Python eval in the explode stage
+    plan = pts._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
