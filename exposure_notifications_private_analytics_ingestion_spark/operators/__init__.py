@@ -4,3 +4,4 @@ from .batching import assign_batches  # noqa: F401
 from .packets import split_packets  # noqa: F401
 from .packing import pack_sequences, packing_summary  # noqa: F401
 from .contamination import contamination_check  # noqa: F401
+from .bloom import BloomSpec, bloom_prefilter, bloom_semi_join, build_bloom  # noqa: F401

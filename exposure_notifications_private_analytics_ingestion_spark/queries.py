@@ -1183,6 +1183,27 @@ FROM p
 """
 
 
+def q_bloom_prefilter_join(spark, sf_dir):
+    # Scale pattern: semi-join a huge fact scan (orders) against a selective
+    # dim (top-balance customers) with a bloom prefilter so ~|non-matching|
+    # rows never reach the join; the trailing broadcast left_semi makes the
+    # result EXACT, so the DuckDB IN-subquery oracle applies verbatim.
+    from .operators.bloom import bloom_semi_join
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+
+
+SQL_BLOOM_PREFILTER_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
 def q_video_frame_samples(spark, sf_dir):
     # MP4 box walk (mvhd/tkhd) then a pure-JVM sampling schedule: one row
     # per (doc_id, sample_ms) at 1 Hz over the parsed duration. See
@@ -1884,6 +1905,7 @@ def extended_registry() -> dict[str, tuple]:
         "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
         "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
         "video_frame_samples": (q_video_frame_samples, SQL_VIDEO_FRAME_SAMPLES),
+        "bloom_prefilter_join": (q_bloom_prefilter_join, SQL_BLOOM_PREFILTER_JOIN),
     }
 
 
