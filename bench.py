@@ -88,6 +88,10 @@ def main():
     for name, (fn, _sql) in q.extended_registry().items():
         bench(name, fn)
 
+    # approximate sketch ops (pytest error-bound-gated; no exact oracle)
+    for name, (fn, _sql) in q.approx_registry().items():
+        bench(name, fn)
+
     # flagship e2e (the headline value)
     t0 = time.time()
     _noop_write(q.flagship(spark, SF_DIR))

@@ -1909,6 +1909,29 @@ def extended_registry() -> dict[str, tuple]:
     }
 
 
+def q_sketch_profile(spark, sf_dir):
+    # mergeable HLL + quantile profile per event type; estimates are
+    # deterministic but algorithm-specific (DataSketches HLL), so the gate
+    # is tests/test_sketches.py relative-error + lossless-union laws, not a
+    # DuckDB value hash.
+    from .operators.sketches import sketch_profile
+
+    ev = _read(spark, sf_dir, "events")
+    return sketch_profile(ev, ["event_type"], "user_id", quantile_col="value").drop(
+        "hll"
+    )
+
+
+def approx_registry() -> dict[str, tuple]:
+    """name → (spark_fn, None): sketch queries whose outputs are
+    approximate by design — benched like everything else, certified by
+    pytest error-bound + merge-law tests (test_sketches.py) instead of the
+    DuckDB value-hash oracle (a different estimator cannot value-match)."""
+    return {
+        "sketch_profile_by_type": (q_sketch_profile, None),
+    }
+
+
 def registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql | None): the DRIVER-CHECKED registry.
 
