@@ -1906,7 +1906,38 @@ def extended_registry() -> dict[str, tuple]:
         "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
         "video_frame_samples": (q_video_frame_samples, SQL_VIDEO_FRAME_SAMPLES),
         "bloom_prefilter_join": (q_bloom_prefilter_join, SQL_BLOOM_PREFILTER_JOIN),
+        "zorder_events": (q_zorder_events, _sql_zorder_events()),
     }
+
+
+def q_zorder_events(spark, sf_dir):
+    # Morton-interleave two bounded event dimensions (user bucket x value
+    # bucket) — the layout key OPTIMIZE-ZORDER-style clustering sorts by.
+    # The oracle recomputes the interleave bit-for-bit from zvalue_sql's
+    # generated expression.
+    from .operators.zorder import zvalue
+
+    ev = _read(spark, sf_dir, "events")
+    pre = ev.select(
+        "event_id",
+        (F.col("user_id") % 1024).cast("long").alias("x"),
+        (F.floor("value").cast("long") % 1024).alias("y"),
+    )
+    return pre.withColumn("zval", zvalue(["x", "y"], bits=10))
+
+
+def _sql_zorder_events() -> str:
+    from .operators.zorder import zvalue_sql
+
+    return f"""
+    SELECT event_id, x, y, {zvalue_sql(['x', 'y'], bits=10)}::BIGINT AS zval
+    FROM (
+      SELECT event_id,
+             (user_id % 1024)::BIGINT AS x,
+             (CAST(floor(value) AS BIGINT) % 1024) AS y
+      FROM events
+    )
+    """
 
 
 def q_sketch_profile(spark, sf_dir):
