@@ -485,14 +485,19 @@ def extract_video_features(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(op, schema=VIDEO_FEATURES_SCHEMA)
 
 
-def frame_sample_points(features: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_sample_points(
+    features: DataFrame, every_ms: int = 1000, keep_cols: list[str] | None = None
+) -> DataFrame:
     """Frame-sampling plan: one row per (doc_id, sample_ms) at a fixed
     cadence over [0, duration_ms). Pure JVM ``sequence`` + ``explode`` —
     the expensive part of real frame extraction (seek + decode at each
     sample point) would slot into a ``mapInPandas`` kernel downstream, but
-    the sampling SCHEDULE itself never needs Python."""
+    the sampling SCHEDULE itself never needs Python. ``keep_cols`` rides
+    metadata columns through the explode so callers don't self-join (and
+    re-decode) the features frame."""
     return features.select(
         "doc_id",
+        *(keep_cols or []),
         F.explode(
             F.sequence(
                 F.lit(0).cast("long"),

@@ -1210,9 +1210,10 @@ def q_video_frame_samples(spark, sf_dir):
     # multimodal._video_params for the oracle-predictable fixture math.
     docs = _read(spark, sf_dir, "documents")
     feats = extract_video_features(attach_video(docs), strict=True)
-    pts = frame_sample_points(feats, every_ms=1000)
-    return pts.join(
-        feats.select("doc_id", "width", "height"), "doc_id"
+    # keep_cols rides the dims through the explode — one narrow pass, no
+    # self-join re-decoding the features (0 exchanges)
+    return frame_sample_points(
+        feats, every_ms=1000, keep_cols=["width", "height"]
     ).select("doc_id", "sample_ms", "width", "height")
 
 
