@@ -93,8 +93,15 @@ def fingerprint(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", shingle: int = 3
 ) -> DataFrame:
     """Full-text md5 + rolling min-shingle fingerprint (word ``shingle``-grams,
-    min of md5 — robust to local edits; the 1-selection case of winnowing)."""
-    w = words_col(text)
+    min of md5 — robust to local edits; the 1-selection case of winnowing).
+
+    The word array is materialized ONCE per row (``_w`` projection) before
+    the per-position lambda: inlining ``words_col`` into
+    ``try_element_at(w, i+j)`` re-evaluates the split per array ELEMENT
+    (the position-dependent index defeats Catalyst's common-subexpression
+    elimination) — measured 10x slower at sf0.1 (5.4s → 0.54s)."""
+    base = df.select(F.col(id_col), F.col(text)).withColumn("_w", words_col(text))
+    w = F.col("_w")
     n = F.size(w)
     idx = F.sequence(F.lit(1), F.greatest(n - (shingle - 1), F.lit(1)))
     shingles = F.transform(
@@ -105,7 +112,7 @@ def fingerprint(
             )
         ),
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.md5(F.col(text)).alias("fingerprint"),
         F.array_min(shingles).alias("min_shingle_fp"),
