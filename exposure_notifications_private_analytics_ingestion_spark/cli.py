@@ -7,6 +7,8 @@ Usage (cluster):
 
   ... cli stream  --input ... --output ... --checkpoint ... [--continuous]
   ... cli delete  --table ... --window-start ... [--duration 43200]
+  ... cli catchup --input ... --output ... --state state.json  (incremental)
+  ... cli compact --table ... [--target-file-mb 128]
 
 Local sandbox: python -m exposure_..._spark.cli <cmd> ... (master local[N]).
 
@@ -78,6 +80,22 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--window-start", type=int, default=None)
     pd.add_argument("--duration", type=int, default=43200)
 
+    pc = sub.add_parser("catchup", help="incremental ingestion of all new, "
+                        "settled hour partitions (crash-safe state file)")
+    pc.add_argument("--input", required=True)
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--state", required=True,
+                    help="JSON state file tracking processed hours")
+    pc.add_argument("--batch-size", type=int, default=100_000)
+    pc.add_argument("--settle-hours", type=int, default=1,
+                    help="withhold the newest N hours present in the data "
+                         "(late-arrival settlement)")
+
+    pm = sub.add_parser("compact", help="rewrite oversplit partitions of a "
+                        "parquet table to the target file size")
+    pm.add_argument("--table", required=True)
+    pm.add_argument("--target-file-mb", type=int, default=128)
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"enpa-{args.cmd}")
     now = int(time.time())
@@ -122,6 +140,32 @@ def main(argv: list[str] | None = None) -> int:
         start = calculate_window_start(args.window_start, args.duration, now)
         deleted = run_deletion(spark, args.table, start, args.duration)
         print(json.dumps({"deleted_partitions": deleted}))
+    elif args.cmd == "catchup":
+        from .plans.incremental import run_incremental
+
+        done = run_incremental(
+            spark,
+            args.input,
+            args.output,
+            args.state,
+            IngestionOptions(batch_size=args.batch_size),
+            settle_hours=args.settle_hours,
+        )
+        print(json.dumps({"processed_hours": done}))
+    elif args.cmd == "compact":
+        from .plans.compaction import compact_table
+
+        plan = compact_table(
+            spark, args.table, target_file_bytes=args.target_file_mb * 1024 * 1024
+        )
+        print(
+            json.dumps(
+                {
+                    "partitions": len(plan),
+                    "rewritten": [p.partition for p in plan if p.oversplit],
+                }
+            )
+        )
     return 0
 
 

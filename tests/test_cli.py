@@ -109,3 +109,36 @@ def test_cli_delete(spark, tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(res["deleted_partitions"]) > 0
+
+
+def test_cli_catchup_and_compact(spark, tmp_path, capsys):
+    """catchup processes all settled hours with a crash-safe state file and
+    is a no-op on rerun; compact then rewrites the oversplit output."""
+    table = str(tmp_path / "cturns")
+    pdf = generate_turns(n_convs=60, seed=11, hours=4)
+    write_turns_table(spark, pdf, table)
+    out = str(tmp_path / "cout")
+    state = str(tmp_path / "state.json")
+
+    rc = cli.main(
+        ["catchup", "--input", table, "--output", out, "--state", state,
+         "--batch-size", "40"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["processed_hours"]) >= 3
+    assert spark.read.parquet(f"{out}/packets").count() > 0
+
+    rc = cli.main(
+        ["catchup", "--input", table, "--output", out, "--state", state]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["processed_hours"] == []
+
+    rc = cli.main(["compact", "--table", f"{out}/packets"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["partitions"] > 0
+    # per-window output at this tiny scale is many small files -> rewritten
+    assert len(res["rewritten"]) > 0
