@@ -1894,15 +1894,17 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 
 def extended_registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql): engine-breadth operators ADDED after
-    the driver's 50-row correctness budget was already full. Same DuckDB
-    rows+schema+hash gate as the driver, applied by
-    tests/test_extended_oracle.py at sf0.001; bench.py times them at sf.
+    the driver's 50-row correctness budget was already full, plus the CUBE /
+    INTERSECT grouping-set variants whose driver slots were reassigned to
+    contamination_check and pii_scrub (the brief's first-class training-data
+    hygiene ops). Same DuckDB rows+schema+hash gate as the driver, applied
+    by tests/test_extended_oracle.py at sf0.001; bench.py times them at sf.
     """
     return {
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "packing_summary": (q_packing_summary, SQL_PACKING_SUMMARY),
-        "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
-        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+        "event_type_cube": (q_event_type_cube, SQL_EVENT_TYPE_CUBE),
+        "users_click_and_purchase": (q_users_click_and_purchase, SQL_CLICK_AND_PURCHASE),
         "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
         "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
         "video_frame_samples": (q_video_frame_samples, SQL_VIDEO_FRAME_SAMPLES),
@@ -2012,16 +2014,16 @@ def registry() -> dict[str, tuple]:
             SQL_CUSTOMERS_NO_ORDERS,
         ),
         "daily_event_pivot": (q_daily_event_pivot, SQL_DAILY_EVENT_PIVOT),
-        "event_type_cube": (q_event_type_cube, SQL_EVENT_TYPE_CUBE),
         "event_type_rollup": (q_event_type_rollup, SQL_EVENT_TYPE_ROLLUP),
         "users_click_no_purchase": (
             q_users_click_no_purchase,
             SQL_CLICK_NO_PURCHASE,
         ),
-        "users_click_and_purchase": (
-            q_users_click_and_purchase,
-            SQL_CLICK_AND_PURCHASE,
-        ),
+        # --- training-data hygiene (brief-first-class; slots freed by
+        # retiring the CUBE and INTERSECT near-variants of the ROLLUP and
+        # EXCEPT entries above to pytest-only certification)
+        "contamination_check": (q_contamination_check, SQL_CONTAMINATION),
+        "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
         # --- training-data corpus ops: text analysis + sampling
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "quality_score": (q_quality_score, SQL_QUALITY),
