@@ -1,7 +1,9 @@
 """spark-submit entry points.
 
-Usage (cluster):
-  spark-submit --py-files enpa_spark.zip -m exposure_..._spark.cli ingest \\
+Usage (cluster — spark-submit takes a driver script, so the thin forwarder
+tools/submit_job.py carries argv here; tools/submit.sh packages + submits):
+  spark-submit --master spark://... --py-files dist/enpa_spark.zip \\
+      tools/submit_job.py ingest \\
       --input s3://bucket/turns --output s3://bucket/out \\
       --window-start 1704067200 --duration 3600 --batch-size 100000
 

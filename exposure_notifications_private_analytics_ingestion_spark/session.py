@@ -47,9 +47,22 @@ def get_spark(
     cluster the master comes from spark-submit and this builder only sets
     SQL-level configs, which are master-agnostic.
     """
-    if cores is None:
+    from pyspark import SparkConf
+
+    # Under spark-submit the master arrives as spark.master in the launch
+    # conf (java system properties); overriding it here would silently turn
+    # a cluster submission into local mode. Only pick a local[n] master when
+    # the caller asked for one or nothing was submitted.
+    submitted_master = SparkConf().get("spark.master", None)
+    if cores is None and submitted_master:
+        master = submitted_master
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = cores if isinstance(cores, str) and "[" in str(cores) else f"local[{cores}]"
+    else:
+        if cores is None:
+            cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = (
+            cores if isinstance(cores, str) and "[" in str(cores) else f"local[{cores}]"
+        )
     n = shuffle_partitions or (int(cores) if str(cores).isdigit() else 32)
     b = (
         SparkSession.builder.master(master)
