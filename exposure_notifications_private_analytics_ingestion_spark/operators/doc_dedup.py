@@ -67,7 +67,7 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def band_signatures(
     df: DataFrame,
     k: int = 8,
     bands: int = 4,
@@ -75,8 +75,9 @@ def minhash_lsh_pairs(
     text: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 band. Returns (doc_a, doc_b,
-    n_shared_bands). Join key = (band_idx, band_hash) — collision-bounded."""
+    """(id, band_idx, band_hash): LSH band signature rows per doc — the
+    join key for both the self-join (``minhash_lsh_pairs``) and the
+    persisted-index batch join (``corpus_index.incremental_dedup``)."""
     rows = k // bands
     sig = minhash_signatures(shingles_df(df, n, text, id_col), k, id_col)
     band_structs = F.array(
@@ -92,9 +93,22 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(band_structs).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band. Returns (doc_a, doc_b,
+    n_shared_bands). Join key = (band_idx, band_hash) — collision-bounded."""
+    banded = band_signatures(df, k, bands, n, text, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

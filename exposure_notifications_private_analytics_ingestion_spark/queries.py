@@ -1892,6 +1892,51 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental corpus dedup: docs with doc_id % 5 == 0 form the arriving
+    batch, the rest are the already-indexed corpus. The corpus is LSH-indexed
+    ONCE to a persisted bucket-partitioned band index; the batch alone is
+    signatured and joined against it (operators/corpus_index.py) — the
+    100 TB workflow where the corpus is never re-shingled."""
+    import tempfile
+
+    from .operators.corpus_index import build_corpus_index, incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = tempfile.mkdtemp(prefix="enpa-corpus-idx-")
+    build_corpus_index(corpus, idx, k=4, bands=4, n=3, n_buckets=16)
+    return incremental_dedup(spark, batch, idx, k=4, bands=4, n=3, n_buckets=16)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+      FROM d WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+               min(md5(sh || '#0')) AS m0, min(md5(sh || '#1')) AS m1,
+               min(md5(sh || '#2')) AS m2, min(md5(sh || '#3')) AS m3
+        FROM s GROUP BY 1),
+b AS (SELECT doc_id, i AS band_idx, md5([m0, m1, m2, m3][i + 1]) AS bh
+      FROM sig, unnest([0, 1, 2, 3]) t(i)),
+cb AS (SELECT * FROM b WHERE doc_id % 5 <> 0),
+nb AS (SELECT * FROM b WHERE doc_id % 5 = 0),
+m AS (SELECT nb.doc_id, cb.doc_id AS corpus_doc_id, count(*) AS n_shared
+      FROM nb JOIN cb ON nb.band_idx = cb.band_idx AND nb.bh = cb.bh
+      GROUP BY 1, 2),
+v AS (SELECT doc_id, min(corpus_doc_id) AS dup_of,
+             max(n_shared)::BIGINT AS n_shared_bands
+      FROM m WHERE n_shared >= 1 GROUP BY 1)
+SELECT base.doc_id, v.dup_of,
+       coalesce(v.n_shared_bands, 0)::BIGINT AS n_shared_bands
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) base
+LEFT JOIN v USING (doc_id)
+"""
+
+
 def extended_registry() -> dict[str, tuple]:
     """name → (spark_fn, oracle_sql): engine-breadth operators ADDED after
     the driver's 50-row correctness budget was already full, plus the CUBE /
@@ -1909,6 +1954,7 @@ def extended_registry() -> dict[str, tuple]:
         "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
         "video_frame_samples": (q_video_frame_samples, SQL_VIDEO_FRAME_SAMPLES),
         "bloom_prefilter_join": (q_bloom_prefilter_join, SQL_BLOOM_PREFILTER_JOIN),
+        "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
         "zorder_events": (q_zorder_events, _sql_zorder_events()),
     }
 
