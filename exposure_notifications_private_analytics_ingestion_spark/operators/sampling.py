@@ -94,3 +94,119 @@ def sample_n_per_stratum(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    text: str = "text",
+    default_budget: int = 0,
+    salt: str = "",
+    n_slices: int = 4096,
+) -> DataFrame:
+    """Training-mix construction: per stratum (language / domain), keep the
+    deterministic hash-ordered prefix of documents whose cumulative token
+    count covers that stratum's TOKEN budget — "give me the first 2 B tokens
+    of German, 40 B of English" — overshooting by at most one document, with
+    membership stable under repartitioning and resume (same md5-bucket order
+    as :func:`deterministic_sample`; growing a budget only ever ADDS docs).
+
+    A doc is kept iff the token mass of all hash-earlier docs in its stratum
+    (``tok_start``) is ``< budget``. The running sum is the same distributed
+    prefix-sum as ``packing.pack_sequences`` — the naive window
+    ``sum() OVER (PARTITION BY stratum ORDER BY hash)`` would shuffle every
+    document of a major language into one task at corpus scale — except the
+    order key is the uniform hash bucket, so slicing its RANGE into
+    ``n_slices`` gives balanced buckets by construction: per-slice subtotals
+    come from a map-side-partial hash-agg, slice base offsets from a window
+    over the tiny (stratum × slice) table, and the within-slice window sees
+    ~n_docs/n_slices rows regardless of stratum skew.
+
+    Output: (key_col, strata_col, n_tokens, tok_start) for kept docs.
+    No reference analog: the reference batches fixed packet COUNTS
+    (``pipeline/IngestionPipeline.java:196-207``); budgeting token MASS per
+    stratum is the training-data generalization.
+    """
+    from pyspark.sql import Window
+
+    reserved = {"_hb", "_bkt", "_n_tok", "_bkt_tokens", "_bkt_base", "_in_bkt"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"token_budget_sample reserves column names {sorted(clash)}")
+
+    slice_w = max(1, SAMPLE_BUCKETS // n_slices)
+    toks = df.select(
+        F.col(key_col),
+        F.col(strata_col),
+        F.size(F.split(F.col(text), " ")).cast("long").alias("_n_tok"),
+        sample_bucket(F.col(key_col), salt).alias("_hb"),
+    ).withColumn("_bkt", (F.col("_hb") / slice_w).cast("long"))
+
+    bucket_w = Window.partitionBy(strata_col).orderBy("_bkt")
+    bases = (
+        toks.groupBy(strata_col, "_bkt")
+        .agg(F.sum("_n_tok").alias("_bkt_tokens"))
+        .withColumn(
+            "_bkt_base",
+            F.coalesce(
+                F.sum("_bkt_tokens").over(
+                    bucket_w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(strata_col, "_bkt", "_bkt_base")
+    )
+
+    in_bucket_w = (
+        Window.partitionBy(strata_col, "_bkt")
+        .orderBy("_hb", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_start = (
+        toks.join(F.broadcast(bases), [strata_col, "_bkt"])
+        .withColumn(
+            "_in_bkt", F.coalesce(F.sum("_n_tok").over(in_bucket_w), F.lit(0))
+        )
+        .withColumn("tok_start", F.col("_bkt_base") + F.col("_in_bkt"))
+    )
+
+    # stratum → budget compiles to a when-cascade: no join, no extra shuffle
+    budget: Column = F.lit(int(default_budget)).cast("long")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(int(b)).cast("long")).otherwise(budget)
+
+    return with_start.filter(F.col("tok_start") < budget).select(
+        F.col(key_col),
+        F.col(strata_col),
+        F.col("_n_tok").alias("n_tokens"),
+        F.col("tok_start"),
+    )
+
+
+def mixture_summary(
+    sampled: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Per-stratum achieved mix vs target: docs kept, tokens kept, budget,
+    and fill ratio (>1 = overshoot by the final partially-counted doc;
+    <1 = stratum exhausted before its budget). One map-side-partial agg."""
+    budget: Column = F.lit(int(default_budget)).cast("long")
+    for value, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata_col) == value, F.lit(int(b)).cast("long")).otherwise(budget)
+    return (
+        sampled.groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.max(budget).alias("budget"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("tokens_kept") / F.col("budget"), 6),
+        )
+    )

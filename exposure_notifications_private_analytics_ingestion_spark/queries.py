@@ -1751,6 +1751,66 @@ FROM t GROUP BY lang
 """
 
 
+_MIX_BUDGETS = {"en": 4000, "de": 1500, "fr": 2000, "zh": 800}  # es → default 0
+
+
+def q_token_budget_mixture(spark, sf_dir):
+    """Token-budget training-mix sampler: per-lang hash-ordered document
+    prefix covering that lang's token budget (es excluded via default 0),
+    computed with the skew-safe distributed prefix-sum."""
+    from .operators.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _read(spark, sf_dir, "documents"), _MIX_BUDGETS, n_slices=256
+    )
+
+
+def _sql_token_budget_mixture() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_BUDGETS.items())
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS hb
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hb, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS tok_start
+      FROM t)
+SELECT doc_id, lang, n_tokens, CAST(tok_start AS BIGINT) AS tok_start
+FROM c
+WHERE tok_start < (CASE lang {cases} ELSE 0 END)
+"""
+
+
+def q_mixture_summary(spark, sf_dir):
+    """Achieved per-lang mix vs target budget (docs, tokens, fill ratio)."""
+    from .operators.sampling import mixture_summary, token_budget_sample
+
+    sampled = token_budget_sample(
+        _read(spark, sf_dir, "documents"), _MIX_BUDGETS, n_slices=256
+    )
+    return mixture_summary(sampled, _MIX_BUDGETS)
+
+
+def _sql_mixture_summary() -> str:
+    inner = _sql_token_budget_mixture()
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_BUDGETS.items())
+    )
+    return f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST((CASE lang {cases} ELSE 0 END) AS BIGINT) AS budget,
+       round(sum(n_tokens) / (CASE lang {cases} ELSE 0 END), 6) AS fill_ratio
+FROM ({inner})
+GROUP BY lang
+"""
+
+
 _CONTAM_N = 5
 _CONTAM_MOD = 97
 _CONTAM_THRESH = 0.05
@@ -1956,6 +2016,8 @@ def extended_registry() -> dict[str, tuple]:
         "bloom_prefilter_join": (q_bloom_prefilter_join, SQL_BLOOM_PREFILTER_JOIN),
         "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
         "zorder_events": (q_zorder_events, _sql_zorder_events()),
+        "token_budget_mixture": (q_token_budget_mixture, _sql_token_budget_mixture()),
+        "mixture_summary": (q_mixture_summary, _sql_mixture_summary()),
     }
 
 

@@ -81,3 +81,76 @@ def test_sample_n_per_stratum_exact_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in frac_plan
+
+
+def test_token_budget_sample_laws(spark):
+    from pyspark.sql import Window
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.sampling import (
+        mixture_summary,
+        token_budget_sample,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    budgets = {"en": 6000, "de": 1200, "fr": 2500}
+    out = token_budget_sample(docs, budgets, n_slices=64)
+
+    # two-level prefix sum == the naive single-window running sum
+    naive = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            sample_bucket(F.col("doc_id")).alias("hb"),
+        )
+        .withColumn(
+            "tok_start",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.partitionBy("lang")
+                    .orderBy("hb", "doc_id")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("tok_start") < F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv]
+        )[F.col("lang")])
+        .select("doc_id", "lang", "n_tokens", "tok_start")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, naive.collect()))
+
+    # default budget 0 excludes unlisted strata entirely
+    assert out.filter(~F.col("lang").isin(*budgets)).count() == 0
+
+    # membership is stable under repartitioning
+    again = token_budget_sample(docs.repartition(23), budgets, n_slices=64)
+    assert _ids(out) == _ids(again)
+
+    # budgets are covered: tokens_kept >= budget unless the stratum ran dry,
+    # and overshoot is bounded by one document
+    summ = {r["lang"]: r for r in mixture_summary(out, budgets).collect()}
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    max_doc = {
+        r["lang"]: r["m"]
+        for r in docs.groupBy("lang")
+        .agg(F.max(F.size(F.split("text", " "))).alias("m"))
+        .collect()
+    }
+    for lang, b in budgets.items():
+        row = summ[lang]
+        if totals[lang] >= b:
+            assert b <= row["tokens_kept"] < b + max_doc[lang]
+        else:
+            assert row["tokens_kept"] == totals[lang]
+
+    # growing one budget only ever ADDS documents (stable mix growth)
+    bigger = dict(budgets, en=12000)
+    grown = token_budget_sample(docs, bigger, n_slices=64)
+    assert _ids(out) <= _ids(grown)

@@ -49,6 +49,7 @@ def main():
 
     from exposure_notifications_private_analytics_ingestion_spark.queries import (
         registry,
+        extended_registry,
         retired_registry,
     )
 
@@ -71,8 +72,9 @@ def main():
     todo = dict(registry())
     if check_all:
         todo.update(retired_registry())
+        todo.update(extended_registry())
     elif only:
-        full = {**registry(), **retired_registry()}
+        full = {**registry(), **retired_registry(), **extended_registry()}
         todo = {n: full[n] for n in only if n in full}
 
     ok = fail = skip = 0
