@@ -1,3 +1,4 @@
 from .ingest_stream import StreamOptions, start_stream_ingestion  # noqa: F401
 from .joins import time_bounded_stream_join  # noqa: F401
 from .metrics import MetricsListener  # noqa: F401
+from .sketch_stream import start_profile_stream, windowed_profile  # noqa: F401
