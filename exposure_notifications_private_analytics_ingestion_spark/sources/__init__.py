@@ -1,4 +1,10 @@
 from .avro_packets import read_packet_containers  # noqa: F401
+from .evolution import (  # noqa: F401
+    SchemaEvolutionError,
+    conform,
+    conformed_stream_schema,
+    read_turns_evolved,
+)
 from .transcripts import (  # noqa: F401
     generate_turns,
     generate_turns_with_payload,
