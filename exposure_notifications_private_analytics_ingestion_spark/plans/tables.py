@@ -28,6 +28,7 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _ICEBERG_OK: dict[str, bool] = {}
 
@@ -109,6 +110,105 @@ class TableProvider:
         if self.is_iceberg:
             return self.spark.table(self._ident(name))
         return self.spark.read.parquet(self._ident(name))
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        name: str,
+        keys: list[str],
+        partition_col: str | None = None,
+        seq_col: str | None = None,
+    ) -> None:
+        """Keyed upsert (MERGE INTO analog): rows of ``df`` replace target
+        rows with the same key; unmatched rows insert. The CDC-correction
+        flow for transcripts — a re-delivered turn with edited text lands as
+        an update on (conv_id, turn_idx), not a duplicate.
+
+        ``seq_col``: when the source itself carries several versions of one
+        key (a CDC batch), the row with the greatest ``seq_col`` wins
+        (ties broken lexicographically by the remaining columns,
+        deterministic).
+
+        Iceberg: real ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET *``
+        (merge-on-read / copy-on-write per table properties). Parquet
+        fallback: copy-on-write — exactly Iceberg's COW strategy — scoped to
+        AFFECTED PARTITIONS when ``partition_col`` is given: target rows in
+        the source's partitions are anti-joined on the keys (the source key
+        set is typically small → broadcast), unioned with the source, and
+        dynamic-partition-overwritten, so at 10^5 hourly partitions an
+        upsert touching 3 hours rewrites 3 directories, not the table.
+        Partition scoping assumes a row's partition value is stable under
+        update (true for ts-derived partitions of immutable event keys); an
+        update that MOVES a row across partitions needs the unscoped path
+        (``partition_col=None``) or real Iceberg MERGE. If the target is not
+        yet hive-partitioned by ``partition_col``, the first upsert rewrites
+        it into that layout (full COW once, scoped thereafter)."""
+        if seq_col:
+            others = [c for c in df.columns if c not in keys]
+            # max(struct(seq, ...)) — one map-side-partial hash-agg; seq
+            # leads the struct so it dominates the lexicographic max
+            packed = df.groupBy(*keys).agg(
+                F.max(
+                    F.struct(*[F.col(seq_col)] + [F.col(c) for c in others if c != seq_col])
+                ).alias("_v")
+            )
+            df = packed.select(
+                *keys,
+                *[
+                    F.col(f"_v.{c}").alias(c)
+                    for c in [seq_col] + [c for c in others if c != seq_col]
+                ],
+            ).select(*df.columns)
+        if self.is_iceberg:
+            view = f"_merge_src_{name}"
+            df.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {self._ident(name)} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        target = self.read(name).select(*df.columns)
+        src_keys = df.select(*keys).distinct()
+        if partition_col:
+            path = self._ident(name)
+            jvm = self.spark.sparkContext._jvm
+            fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+                self.spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            layout_ok = any(
+                st.getPath().getName().startswith(f"{partition_col}=")
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path))
+            )
+            if layout_ok:
+                parts = [r[0] for r in df.select(partition_col).distinct().collect()]
+                affected = target.filter(F.col(partition_col).isin(parts))
+            else:  # first upsert converts the table into the scoped layout
+                affected = target
+            kept = affected.join(F.broadcast(src_keys), keys, "left_anti")
+            merged = kept.unionByName(df).cache()
+            merged.count()  # materialize before overwriting the source files
+            if layout_ok:
+                from .compaction import _dynamic_overwrite
+
+                with _dynamic_overwrite(self.spark):
+                    merged.write.mode("overwrite").partitionBy(
+                        partition_col
+                    ).parquet(path)
+            else:
+                # static overwrite truncates the whole directory — required
+                # here, or the old unpartitioned root files would survive
+                # the dynamic commit and duplicate every row
+                merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+                    path
+                )
+        else:
+            kept = target.join(F.broadcast(src_keys), keys, "left_anti")
+            merged = kept.unionByName(df).cache()
+            merged.count()
+            merged.write.mode("overwrite").parquet(self._ident(name))
+        merged.unpersist()
 
     def delete_where(self, name: str, predicate: str) -> None:
         if self.is_iceberg:

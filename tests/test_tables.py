@@ -64,3 +64,84 @@ def test_delete_where(spark, provider):
     out = provider.read("t3")
     assert out.count() == 50
     assert out.agg(F.max("id")).collect()[0][0] == 49
+
+
+def _hours_table(spark):
+    return spark.createDataFrame(
+        [(f"c{i:03d}", t, f"text-{i}-{t}", i % 3) for i in range(60) for t in range(2)],
+        "conv_id string, turn_idx int, text string, hour int",
+    )
+
+
+def test_merge_upsert_updates_and_inserts(spark, provider):
+    provider.replace(_hours_table(spark), "t4")
+    src = spark.createDataFrame(
+        [("c000", 0, "EDITED", 0), ("c999", 0, "NEW", 1)],
+        "conv_id string, turn_idx int, text string, hour int",
+    )
+    provider.merge_upsert(src, "t4", keys=["conv_id", "turn_idx"])
+    out = provider.read("t4")
+    assert out.count() == 121  # 120 original + 1 insert
+    assert out.filter("conv_id='c000' and turn_idx=0").collect()[0]["text"] == "EDITED"
+    assert out.filter("conv_id='c999'").count() == 1
+    # idempotent: re-applying the same upsert changes nothing
+    provider.merge_upsert(src, "t4", keys=["conv_id", "turn_idx"])
+    assert provider.read("t4").count() == 121
+
+
+def test_merge_upsert_seq_col_latest_wins(spark, provider):
+    # two CDC versions of one key in a single source batch
+    src = spark.createDataFrame(
+        [("c001", 0, "v1", 0, 1), ("c001", 0, "v2", 0, 2)],
+        "conv_id string, turn_idx int, text string, hour int, seq int",
+    )
+    provider.replace(_hours_table(spark).withColumn("seq", F.lit(0)), "t5")
+    provider.merge_upsert(src, "t5", keys=["conv_id", "turn_idx"], seq_col="seq")
+    row = provider.read("t5").filter("conv_id='c001' and turn_idx=0").collect()
+    assert len(row) == 1 and row[0]["text"] == "v2"
+
+
+def test_merge_upsert_partition_scoped_rewrite(spark, provider):
+    import os
+
+    df = _hours_table(spark)
+    # lay the table out hive-partitioned by hour first
+    path = provider._ident("t6")
+    df.write.mode("overwrite").partitionBy("hour").parquet(path)
+    untouched = sorted(os.listdir(f"{path}/hour=2"))
+    before = {f: os.path.getmtime(f"{path}/hour=2/{f}") for f in untouched}
+
+    src = spark.createDataFrame(
+        [("c000", 0, "EDITED", 0)],
+        "conv_id string, turn_idx int, text string, hour int",
+    )
+    provider.merge_upsert(
+        src, "t6", keys=["conv_id", "turn_idx"], partition_col="hour"
+    )
+    out = provider.read("t6")
+    assert out.count() == 120
+    assert out.filter("conv_id='c000' and turn_idx=0").collect()[0]["text"] == "EDITED"
+    # scoped copy-on-write: the untouched partition's files are bit-for-bit
+    # the same files (same names, same mtimes) — only hour=0 was rewritten
+    after = {
+        f: os.path.getmtime(f"{path}/hour=2/{f}")
+        for f in sorted(os.listdir(f"{path}/hour=2"))
+    }
+    assert after == before
+
+
+def test_merge_upsert_converts_unpartitioned_layout_once(spark, provider):
+    import os
+
+    df = _hours_table(spark)
+    provider.replace(df, "t7")  # unpartitioned layout
+    src = spark.createDataFrame(
+        [("c000", 0, "EDITED", 0)],
+        "conv_id string, turn_idx int, text string, hour int",
+    )
+    provider.merge_upsert(src, "t7", keys=["conv_id", "turn_idx"], partition_col="hour")
+    out = provider.read("t7")
+    # full COW conversion: no duplicated rows from stale root files
+    assert out.count() == 120
+    path = provider._ident("t7")
+    assert any(d.startswith("hour=") for d in os.listdir(path))
