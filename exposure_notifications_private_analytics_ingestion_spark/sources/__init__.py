@@ -5,6 +5,11 @@ from .evolution import (  # noqa: F401
     conformed_stream_schema,
     read_turns_evolved,
 )
+from .quarantine import (  # noqa: F401
+    corrupt_file_inventory,
+    quarantine_corrupt_files,
+    read_resilient,
+)
 from .transcripts import (  # noqa: F401
     generate_turns,
     generate_turns_with_payload,
