@@ -32,6 +32,13 @@ class MetricsListener(StreamingQueryListener):
             "state_rows": sum(
                 s.numRowsTotal for s in (p.stateOperators or [])
             ),
+            # rows the watermark silently discarded as too-late — the
+            # streaming analog of the batch validator's drop counters; a
+            # nonzero steady-state value means the watermark is tighter
+            # than the source's actual lateness and data is being LOST
+            "late_rows_dropped": sum(
+                s.numRowsDroppedByWatermark for s in (p.stateOperators or [])
+            ),
         }
         self.progress.append(rec)
         if self.jsonl_path:
@@ -40,6 +47,10 @@ class MetricsListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event):  # noqa: N802
         pass
+
+    def late_rows_dropped(self) -> int:
+        """Total watermark-discarded rows across observed microbatches."""
+        return sum(r.get("late_rows_dropped", 0) for r in self.progress)
 
     def batch_close_p95_ms(self) -> float | None:
         ds = sorted(r["batch_duration_ms"] for r in self.progress if r["num_input_rows"])

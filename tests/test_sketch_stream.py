@@ -139,3 +139,19 @@ def test_windowed_profile_stream_matches_batch_twin(spark, tmp_path):
         > F.greatest(F.lit(2), F.col("exact_distinct") * 0.05)
     )
     assert off.count() == 0
+
+
+def test_metrics_listener_surfaces_watermark_drops():
+    """late_rows_dropped totals numRowsDroppedByWatermark across batches —
+    the signal that a watermark tighter than real lateness is LOSING data."""
+    from exposure_notifications_private_analytics_ingestion_spark.streaming.metrics import (
+        MetricsListener,
+    )
+
+    ml = MetricsListener()
+    ml.progress = [
+        {"num_input_rows": 10, "batch_duration_ms": 5, "late_rows_dropped": 3},
+        {"num_input_rows": 5, "batch_duration_ms": 5, "late_rows_dropped": 0},
+        {"num_input_rows": 0, "batch_duration_ms": 1},  # pre-upgrade record
+    ]
+    assert ml.late_rows_dropped() == 3
