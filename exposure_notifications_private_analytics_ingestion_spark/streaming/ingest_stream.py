@@ -66,6 +66,10 @@ class StreamOptions:
     facts_path: str | None = None
     facts_bound_s: int = 3600
     facts_watermark: str = "1 hour"
+    # tolerate corrupt/vanished source files (pair with
+    # sources.quarantine.corrupt_file_inventory on the input dir — never
+    # rely on silent drops alone; see quarantine.py's module docstring)
+    resilient: bool = False
 
 
 # one output row per turn in a CLOSED batch
@@ -463,11 +467,14 @@ def closed_batches_stream(
     spark: SparkSession, input_path: str, opts: StreamOptions
 ) -> DataFrame:
     """readStream → watermark → keyed CEP state → closed-batch rows."""
-    raw = (
-        spark.readStream.schema(TURNS_SCHEMA)
-        .option("maxFilesPerTrigger", str(opts.max_files_per_trigger))
-        .parquet(input_path)
+    reader = spark.readStream.schema(TURNS_SCHEMA).option(
+        "maxFilesPerTrigger", str(opts.max_files_per_trigger)
     )
+    if opts.resilient:
+        reader = reader.option("ignoreCorruptFiles", "true").option(
+            "ignoreMissingFiles", "true"
+        )
+    raw = reader.parquet(input_path)
     turns = raw.filter(F.col("ts").isNotNull() & F.col("text").isNotNull())
     if opts.facts_path:
         from .joins import FACTS_SCHEMA, time_bounded_stream_join
@@ -518,6 +525,58 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+# Options whose change across a checkpoint resume corrupts or silently
+# reinterprets existing state: bucket_by/mode change the state KEY SPACE and
+# row meaning (a per-conv state map read back as bucket state is garbage —
+# Spark cannot detect this because the state schema bytes are identical);
+# window_s/session_gap_s reinterpret persisted window-start arrays.
+_STATE_LAYOUT_FIELDS = ("bucket_by", "mode", "window_s", "session_gap_s")
+
+
+class CheckpointOptionsMismatch(ValueError):
+    pass
+
+
+def _guard_checkpoint_options(spark: SparkSession, checkpoint: str, opts: StreamOptions):
+    """Refuse to resume a checkpoint whose state was written under a
+    different state layout. The fingerprint lives NEXT TO the checkpoint
+    (``<ckpt>/_enpa_options.json``) so it travels with it; written through
+    the Hadoop FS so it works on HDFS/S3 checkpoints too."""
+    import json as _json
+
+    jvm = spark.sparkContext._jvm
+    fpath = jvm.org.apache.hadoop.fs.Path(checkpoint, "_enpa_options.json")
+    fs = fpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    current = {f: getattr(opts, f) for f in _STATE_LAYOUT_FIELDS}
+    if fs.exists(fpath):
+        stream = fs.open(fpath)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            recorded = _json.loads(bytes(raw).decode())
+        finally:
+            stream.close()
+        changed = {
+            f: (recorded.get(f), current[f])
+            for f in _STATE_LAYOUT_FIELDS
+            if recorded.get(f) != current[f]
+        }
+        if changed:
+            detail = ", ".join(
+                f"{f}: checkpoint={old!r} requested={new!r}"
+                for f, (old, new) in changed.items()
+            )
+            raise CheckpointOptionsMismatch(
+                f"checkpoint {checkpoint} was written with a different state "
+                f"layout ({detail}). Resuming would silently misread state. "
+                "Either restore the original options or start a NEW "
+                "checkpoint directory (reprocessing the source)."
+            )
+    else:
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint))
+        out = fs.create(fpath, True)
+        out.write(_json.dumps(current).encode())
+        out.close()
+
 
 def start_stream_ingestion(
     spark: SparkSession,
@@ -538,6 +597,7 @@ def start_stream_ingestion(
     from .sink import make_epoch_sink
 
     opts = opts or StreamOptions()
+    _guard_checkpoint_options(spark, checkpoint, opts)
     if rocksdb_state:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
