@@ -74,6 +74,10 @@ def main(argv: list[str] | None = None) -> int:
                          "within --facts-bound seconds at-or-before the turn "
                          "are ingested (watermarked stream-stream join)")
     ps.add_argument("--facts-bound", type=int, default=3600)
+    ps.add_argument("--resilient", action="store_true",
+                    help="skip corrupt/vanished source files instead of "
+                         "failing the query; audit skips afterwards with "
+                         "sources.quarantine.corrupt_file_inventory")
     ps.add_argument("--continuous", action="store_true",
                     help="keep running (default: availableNow then exit)")
 
@@ -134,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
                 bucket_by=args.bucket_by,
                 facts_path=args.facts,
                 facts_bound_s=args.facts_bound,
+                resilient=args.resilient,
             ),
             available_now=not args.continuous,
         )
