@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
                          "within --facts-bound seconds at-or-before the turn "
                          "are ingested (watermarked stream-stream join)")
     ps.add_argument("--facts-bound", type=int, default=3600)
+    ps.add_argument("--invalid-path", default=None,
+                    help="dead-letter queue: write filter-dropped rows "
+                         "(null ts/text) here with an invalid_reason column")
     ps.add_argument("--resilient", action="store_true",
                     help="skip corrupt/vanished source files instead of "
                          "failing the query; audit skips afterwards with "
@@ -139,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
                 facts_path=args.facts,
                 facts_bound_s=args.facts_bound,
                 resilient=args.resilient,
+                invalid_path=args.invalid_path,
             ),
             available_now=not args.continuous,
         )

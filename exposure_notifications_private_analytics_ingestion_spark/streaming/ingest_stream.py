@@ -70,6 +70,12 @@ class StreamOptions:
     # sources.quarantine.corrupt_file_inventory on the input dir — never
     # rely on silent drops alone; see quarantine.py's module docstring)
     resilient: bool = False
+    # dead-letter queue: when set, rows the ingest filter drops (null
+    # ts/text — the plain-turn analog of the reference's invalid-share
+    # counters, DataShare.java:46-55) are written to this path with an
+    # `invalid_reason` column by a side query instead of vanishing; the
+    # main stream's behavior is unchanged
+    invalid_path: str | None = None
 
 
 # one output row per turn in a CLOSED batch
@@ -602,9 +608,58 @@ def start_stream_ingestion(
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
+    dlq_query = None
+    if opts.invalid_path:
+        dlq_query = _start_dlq_stream(
+            spark, input_path, opts, f"{checkpoint}-dlq", available_now
+        )
     batches = closed_batches_stream(spark, input_path, opts)
     writer = (
         batches.writeStream.foreachBatch(make_epoch_sink(output_root))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    # side-channel handle: callers that need to await/stop the DLQ (tests,
+    # a graceful shutdown) reach it as q.dlq_query; availableNow runs drain
+    # it on their own
+    q.dlq_query = dlq_query
+    return q
+
+
+def _start_dlq_stream(
+    spark: SparkSession,
+    input_path: str,
+    opts: StreamOptions,
+    checkpoint: str,
+    available_now: bool,
+):
+    """Dead-letter side query: same source, INVERSE of the ingest filter,
+    stamped with an invalid_reason — a stateless projection, so it adds no
+    state store and cannot perturb the main query (own checkpoint, own
+    offsets). Rows land as parquet under ``opts.invalid_path``."""
+    reader = spark.readStream.schema(TURNS_SCHEMA).option(
+        "maxFilesPerTrigger", str(opts.max_files_per_trigger)
+    )
+    if opts.resilient:
+        reader = reader.option("ignoreCorruptFiles", "true").option(
+            "ignoreMissingFiles", "true"
+        )
+    bad = (
+        reader.parquet(input_path)
+        .filter(F.col("ts").isNull() | F.col("text").isNull())
+        .withColumn(
+            "invalid_reason",
+            F.when(F.col("ts").isNull(), F.lit("missing_created")).otherwise(
+                F.lit("missing_payload")
+            ),
+        )
+    )
+    writer = (
+        bad.writeStream.format("parquet")
+        .option("path", opts.invalid_path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )

@@ -117,3 +117,49 @@ def test_resilient_stream_survives_corrupt_file(spark, tmp_path):
         .count()
         == 0
     )
+
+
+@pytest.mark.slow
+def test_invalid_rows_land_in_dead_letter_queue(spark, tmp_path):
+    import pandas as pd
+
+    inp = str(tmp_path / "in")
+    pdf = generate_turns(n_convs=30, seed=5, hours=2, dup_frac=0.0)
+    n_good = len(pdf)
+    bad = pdf.iloc[:4].copy()
+    bad["conv_id"] = [f"bad-{i}" for i in range(4)]
+    bad.loc[bad.index[:2], "text"] = None
+    # pandas needs object dtype to hold NaT-free None for spark ts nulls
+    bad["ts"] = bad["ts"].astype("object")
+    bad.loc[bad.index[2:], "ts"] = None
+    full = pd.concat([pdf, bad], ignore_index=True)
+    spark.createDataFrame(full, schema=TURNS_SCHEMA).coalesce(2).write.parquet(inp)
+
+    out, ckpt, dlq = (
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        str(tmp_path / "dlq"),
+    )
+    q = start_stream_ingestion(
+        spark,
+        inp,
+        out,
+        ckpt,
+        StreamOptions(batch_size=20, window_s=3600, invalid_path=dlq),
+    )
+    q.awaitTermination(240)
+    if q.dlq_query is not None:
+        q.dlq_query.awaitTermination(120)
+
+    dead = spark.read.parquet(dlq)
+    assert dead.count() == 4
+    reasons = {
+        (r["conv_id"], r["invalid_reason"]) for r in dead.collect()
+    }
+    assert {c for c, _ in reasons} == {"bad-0", "bad-1", "bad-2", "bad-3"}
+    assert {rs for c, rs in reasons if c in ("bad-0", "bad-1")} == {"missing_payload"}
+    assert {rs for c, rs in reasons if c in ("bad-2", "bad-3")} == {"missing_created"}
+    # the main stream is unperturbed: no bad conv ever reaches packets
+    pk = spark.read.parquet(f"{out}/packets")
+    assert pk.filter(F.col("conv_id").startswith("bad-")).count() == 0
+    assert pk.count() > 0
