@@ -1,0 +1,271 @@
+"""Product quantization (PQ) for the ANN suite — the memory-compression
+scale path for billion-vector search (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011; the FAISS IVF-PQ layout).
+
+Why PQ at 10^9+ vectors: IVF (``similarity.ivf_topk``) bounds the CANDIDATE
+count, but each candidate still costs a full d-dim dot product against raw
+vectors — 64 dims × 8 bytes of quantized ints per vector of memory
+bandwidth. PQ splits each vector into ``m`` subvectors, k-means-codes each
+subspace with ``ks`` centroids, and stores only the m code bytes
+(64 longs → 8 bytes here, a 64× cut); candidate scoring becomes m table
+lookups into a precomputed centroid-dot-product table instead of d
+multiplies. Accuracy is recovered where it matters by exact re-ranking of
+the top-``rerank`` approximate hits — the standard IVF-PQ + re-rank recipe.
+
+Spark shape (everything JVM-side, no Python in the data path):
+- training: explode to (sub_idx, subvec) → broadcast-join the (m·ks)-row
+  centroid table → ``min_by`` assignment → per-(sub, code) elementwise mean
+  via one posexplode + two hash-aggs (the ``cluster_centroid_sums``
+  pattern). Deterministic end to end: integer input (``similarity.quantize``),
+  md5-hash-ordered seeding, integer-rounded means, fixed iterations — the
+  codebook is a pure function of the data, stable under repartitioning.
+- encoding: the same assignment join; codes are an ``array<int>`` column.
+- scoring: the m·ks·ks centroid dot-product table (8·16·16 = 2048 longs
+  here) is embedded as an array LITERAL in the plan — codegen'd
+  ``element_at`` lookups, no join, no shuffle, no Python.
+
+The reference has no vector search; this extends the driver-brief
+similarity suite the same way IVF/LSH do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .similarity import _prep, _qdot
+
+
+def _subvectors(prep: DataFrame, m: int, d: int) -> DataFrame:
+    """(id, qn, sub_idx, sv): m disjoint slices of the quantized vector."""
+    sub_d = d // m
+    return prep.select(
+        "*",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice(F.col("qv"), i * sub_d + 1, sub_d),
+            )
+        ).alias("sub_idx", "sv"),
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (row, sub_idx): broadcast the (m·ks)-row
+    codebook, min_by over squared L2 (ties → lowest code, deterministic)."""
+    joined = sub.join(F.broadcast(codebook), "sub_idx")
+    d2 = _l2(F.col("sv"), F.col("centroid"))
+    return joined.groupBy(*[c for c in sub.columns if c != "sv"], "sv").agg(
+        F.min_by(F.col("code"), F.struct(d2.alias("d"), F.col("code").alias("c"))).alias(
+            "code"
+        )
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Deterministic per-subspace k-means codebook:
+    (sub_idx, code, centroid array<long>).
+
+    Seeding: the ``ks`` subvectors with the smallest md5(id|sub) per
+    subspace (a deterministic pseudo-random sample — no RNG, stable across
+    engines and partitionings). ``iters`` Lloyd rounds with integer-rounded
+    means keep every quantity exact."""
+    prep = _prep(df, id_col, vec_col, [])
+    sub = _subvectors(prep, m, dims).select(id_col, "sub_idx", "sv")
+
+    w = Window.partitionBy("sub_idx").orderBy(
+        F.md5(F.concat_ws("|", F.col(id_col), F.col("sub_idx"))), F.col(id_col)
+    )
+    codebook = (
+        sub.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ks)
+        .select(
+            "sub_idx",
+            (F.col("rn") - 1).cast("int").alias("code"),
+            F.col("sv").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(sub, codebook)
+        # elementwise integer mean per (sub_idx, code): posexplode dims →
+        # avg → rebuild ordered array (map-side partial aggs throughout)
+        codebook = (
+            assigned.select("sub_idx", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub_idx", "code", "pos")
+            .agg(F.round(F.avg("v")).cast("long").alias("c"))
+            .groupBy("sub_idx", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st["c"],
+                ).alias("centroid")
+            )
+        )
+        codebook = codebook.localCheckpoint(eager=True)  # cut the lineage per round
+    return codebook
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """(id, qn, codes array<int>, *extra): the compressed representation —
+    m code ids replace the d-dim vector."""
+    prep = _prep(df, id_col, vec_col, extra or [])
+    sub = _subvectors(prep, m, dims)
+    assigned = _assign(sub, codebook)
+    return (
+        assigned.groupBy(id_col, "qn", *(extra or []))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
+                lambda st: st["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def _dot_table(codebook_rows: list, m: int, ks: int) -> list[int]:
+    """Flat m·ks·ks table of centroid dot products (symmetric distance
+    computation): entry [sub·ks² + ca·ks + cb] = dot(C[sub][ca], C[sub][cb]).
+    Built driver-side from the collected codebook (m·ks rows — tiny) and
+    embedded as a plan literal."""
+    cent: dict[tuple[int, int], list[int]] = {
+        (r["sub_idx"], r["code"]): list(r["centroid"]) for r in codebook_rows
+    }
+    table = [0] * (m * ks * ks)
+    for (s, ca), va in cent.items():
+        for cb in range(ks):
+            vb = cent.get((s, cb))
+            if vb is not None:
+                table[s * ks * ks + ca * ks + cb] = sum(
+                    x * y for x, y in zip(va, vb)
+                )
+    return table
+
+
+def _approx_qdot(codes_a: Column, codes_b: Column, table: Column, ks: int) -> Column:
+    zipped = F.arrays_zip(codes_a.alias("ca"), codes_b.alias("cb"))
+    return F.aggregate(
+        F.transform(
+            zipped,
+            lambda s, i: F.element_at(
+                table, (i * ks * ks + s["ca"] * ks + s["cb"] + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    dims: int = 64,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k with exact re-rank: candidates restricted to the
+    query's coarse cluster (the IVF stage), scored by the PQ
+    dot-product table (m ``element_at`` lookups per pair — no vector math,
+    no join for the table), then the top-``rerank`` approximate hits per
+    query are re-scored with the EXACT integer dot product and the true
+    top-k of those is returned. Output schema matches ``ivf_topk``
+    (query_id, neighbor_id, cosine, rank)."""
+    codebook = codebook if codebook is not None else pq_train(
+        df, m=m, ks=ks, id_col=id_col, vec_col=vec_col, dims=dims
+    )
+    table_lit = F.lit(_dot_table(codebook.collect(), m, ks))
+
+    enc = pq_encode(
+        df, codebook, m=m, id_col=id_col, vec_col=vec_col, dims=dims,
+        extra=[cluster_col],
+    )
+    a, b = enc.alias("a"), enc.alias("b")
+    approx = (
+        a.join(
+            b,
+            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "adot", _approx_qdot(F.col("a.codes"), F.col("b.codes"), table_lit, ks)
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            F.round(
+                F.col("adot")
+                / F.sqrt((F.col("a.qn") * F.col("b.qn")).cast("double")),
+                6,
+            ).alias("approx_cosine"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = approx.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= rerank
+    )
+
+    # exact re-rank of the shortlist only: join the raw quantized vectors
+    # back for `rerank` rows per query, not per candidate pair
+    prep = _prep(df, id_col, vec_col, [])
+    qa = prep.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qv_a"),
+        F.col("qn").alias("qn_a"),
+    )
+    qb = prep.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qv").alias("qv_b"),
+        F.col("qn").alias("qn_b"),
+    )
+    exact = (
+        shortlist.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .withColumn("qdot", _qdot(F.col("qv_a"), F.col("qv_b")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("qdot") / F.sqrt((F.col("qn_a") * F.col("qn_b")).cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2064,13 +2064,26 @@ def q_sketch_profile(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    # IVF-PQ top-k with exact re-rank: 64x-compressed candidate scoring
+    # (codes + dot-table lookups) over the query's coarse cluster, exact
+    # cosine on the shortlist. Approximate by design — the gate is
+    # tests/test_pq.py (deterministic codebook, recall >= 0.85 vs the
+    # exact-scoring ivf_topk, re-rank scores exactly equal exact cosines).
+    from .operators.pq import pq_topk
+
+    return pq_topk(_read(spark, sf_dir, "embeddings"), k=3)
+
+
 def approx_registry() -> dict[str, tuple]:
-    """name → (spark_fn, None): sketch queries whose outputs are
-    approximate by design — benched like everything else, certified by
-    pytest error-bound + merge-law tests (test_sketches.py) instead of the
-    DuckDB value-hash oracle (a different estimator cannot value-match)."""
+    """name → (spark_fn, None): queries whose outputs are approximate by
+    design — benched like everything else, certified by pytest
+    error/recall-bound + law tests (test_sketches.py, test_pq.py) instead
+    of the DuckDB value-hash oracle (a different estimator cannot
+    value-match)."""
     return {
         "sketch_profile_by_type": (q_sketch_profile, None),
+        "pq_topk": (q_pq_topk, None),
     }
 
 

@@ -1,0 +1,77 @@
+"""Product quantization (operators/pq.py): deterministic codebooks,
+compression shape, recall vs the exact-scoring IVF twin, and exact re-rank
+scores."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from exposure_notifications_private_analytics_ingestion_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+from exposure_notifications_private_analytics_ingestion_spark.operators.similarity import (
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def codebook(spark, emb):
+    return pq_train(emb, iters=2)
+
+
+def _rows(cb):
+    return sorted(
+        (r["sub_idx"], r["code"], tuple(r["centroid"])) for r in cb.collect()
+    )
+
+
+def test_codebook_deterministic_under_repartition(spark, emb, codebook):
+    again = pq_train(emb.repartition(13), iters=2)
+    assert _rows(codebook) == _rows(again)
+
+
+def test_encoding_is_m_codes_of_ks_values(spark, emb, codebook):
+    enc = pq_encode(emb, codebook)
+    assert enc.count() == emb.count()
+    bad = enc.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+    )
+    assert bad.count() == 0
+
+
+def test_pq_topk_recall_against_exact_ivf(spark, emb, codebook):
+    """Same IVF candidate restriction, PQ-table scoring + exact re-rank of
+    the top-32 vs full exact scoring: recall@3 must hold ≥0.85 (measured
+    0.897 at these defaults — pinned with head-room for codebook-seeding
+    changes, not expected to drift)."""
+    exact = ivf_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = pq_topk(emb, k=3, codebook=codebook).select("query_id", "neighbor_id")
+    tot = exact.count()
+    hit = approx.intersect(exact).count()
+    assert tot > 0
+    assert hit / tot >= 0.85
+
+
+def test_pq_topk_scores_are_exact_cosines(spark, emb, codebook):
+    """The returned cosine is the exact re-ranked value: for every
+    (query, neighbor) pair PQ and exact IVF agree on, the scores match to
+    the shared rounding."""
+    exact = ivf_topk(emb, k=3)
+    approx = pq_topk(emb, k=3, codebook=codebook)
+    j = approx.alias("p").join(
+        exact.alias("e"), ["query_id", "neighbor_id"]
+    )
+    diff = j.filter(F.col("p.cosine") != F.col("e.cosine"))
+    assert j.count() > 0
+    assert diff.count() == 0
