@@ -2075,15 +2075,27 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(_read(spark, sf_dir, "embeddings"), k=3)
 
 
+def q_lm_quality(spark, sf_dir):
+    # CCNet-style bigram-LM perplexity self-scoring over the documents
+    # table. Scores are double ln-sums (engine summation-order ulps), so
+    # the gate is tests/test_lm_score.py law tests (fluent < shuffled <
+    # garbage ordering, exact ln(V) unseen floor, occurrence weighting,
+    # repartition determinism), not a DuckDB value hash.
+    from .operators.lm_score import lm_quality_scores
+
+    return lm_quality_scores(_read(spark, sf_dir, "documents"))
+
+
 def approx_registry() -> dict[str, tuple]:
     """name → (spark_fn, None): queries whose outputs are approximate by
-    design — benched like everything else, certified by pytest
-    error/recall-bound + law tests (test_sketches.py, test_pq.py) instead
-    of the DuckDB value-hash oracle (a different estimator cannot
-    value-match)."""
+    design or float-summation-sensitive — benched like everything else,
+    certified by pytest error/recall-bound + law tests (test_sketches.py,
+    test_pq.py, test_lm_score.py) instead of the DuckDB value-hash oracle
+    (a different estimator cannot value-match)."""
     return {
         "sketch_profile_by_type": (q_sketch_profile, None),
         "pq_topk": (q_pq_topk, None),
+        "lm_quality": (q_lm_quality, None),
     }
 
 
