@@ -2018,7 +2018,53 @@ def extended_registry() -> dict[str, tuple]:
         "zorder_events": (q_zorder_events, _sql_zorder_events()),
         "token_budget_mixture": (q_token_budget_mixture, _sql_token_budget_mixture()),
         "mixture_summary": (q_mixture_summary, _sql_mixture_summary()),
+        "sequence_dedup_groups": (q_sequence_dedup_groups, SQL_SEQUENCE_DEDUP_GROUPS),
     }
+
+
+def q_sequence_dedup_groups(spark, sf_dir):
+    # Conversation-level exact dedup: fingerprint each user's ORDERED
+    # event-type sequence (md5 over a unit-separator join — the
+    # conversation analog of doc-level `fingerprint`) and collapse
+    # identical sequences to a representative. One hash-agg to build the
+    # per-user sequence, one to group fingerprints — both map-side-partial;
+    # sequences never shuffle as raw text twice. Output: one row per
+    # distinct sequence with its min-user representative and group size (a
+    # dedup pass keeps rep_user where n_users > 1; the testdata's sequences
+    # are all-distinct, so the unfiltered groups are what give the oracle
+    # real rows to certify the ordered fingerprint math against).
+    ev = _read(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            )
+        ).alias("seq_fp")
+    )
+    return (
+        seqs.groupBy("seq_fp")
+        .agg(
+            F.min("user_id").alias("rep_user"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+    )
+
+
+SQL_SEQUENCE_DEDUP_GROUPS = """
+WITH seqs AS (
+  SELECT user_id,
+         md5(string_agg(event_type, chr(31) ORDER BY ts, event_id)) AS seq_fp
+  FROM events GROUP BY user_id
+)
+SELECT seq_fp, min(user_id) AS rep_user, count(*)::BIGINT AS n_users
+FROM seqs GROUP BY seq_fp
+"""
 
 
 def q_zorder_events(spark, sf_dir):

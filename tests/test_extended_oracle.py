@@ -183,3 +183,38 @@ def test_pii_scrub_redacts_text(spark):
     import hashlib
 
     assert out[0][0] == hashlib.md5(b"<EMAIL> x").hexdigest()
+
+
+def test_sequence_dedup_groups_planted_duplicates(spark, tmp_path):
+    """Two users with identical ordered event-type sequences collapse to
+    one group with the min-user representative; order matters (a reversed
+    sequence is a different fingerprint)."""
+    import pandas as pd
+
+    from exposure_notifications_private_analytics_ingestion_spark.queries import (
+        q_sequence_dedup_groups,
+    )
+
+    rows = []
+    for uid, seq in [
+        (7, ["view", "click", "purchase"]),
+        (3, ["view", "click", "purchase"]),  # exact duplicate of user 7
+        (9, ["purchase", "click", "view"]),  # same multiset, different order
+    ]:
+        for i, et in enumerate(seq):
+            rows.append(
+                {
+                    "event_id": uid * 100 + i,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                    "user_id": uid,
+                    "event_type": et,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+    sf = str(tmp_path)
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = {r["rep_user"]: r["n_users"] for r in q_sequence_dedup_groups(spark, sf).collect()}
+    assert out == {3: 2, 9: 1}
