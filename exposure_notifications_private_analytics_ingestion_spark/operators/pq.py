@@ -79,6 +79,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    train_frac: float | None = None,
 ) -> DataFrame:
     """Deterministic per-subspace k-means codebook:
     (sub_idx, code, centroid array<long>).
@@ -86,7 +87,18 @@ def pq_train(
     Seeding: the ``ks`` subvectors with the smallest md5(id|sub) per
     subspace (a deterministic pseudo-random sample — no RNG, stable across
     engines and partitionings). ``iters`` Lloyd rounds with integer-rounded
-    means keep every quantity exact."""
+    means keep every quantity exact.
+
+    ``train_frac``: train on a deterministic md5-bucket sample of the
+    corpus (``operators.sampling`` — a pure filter, no shuffle). At 10^9+
+    vectors this is not an optimization but the correct design: codebook
+    quality saturates at ~100k·ks training points (FAISS trains IVF-PQ on
+    samples for the same reason), while the Lloyd joins on the full corpus
+    would shuffle everything ``iters`` times for nothing."""
+    if train_frac is not None:
+        from .sampling import deterministic_sample
+
+        df = deterministic_sample(df, train_frac, key_col=id_col, salt="pqtrain")
     prep = _prep(df, id_col, vec_col, [])
     sub = _subvectors(prep, m, dims).select(id_col, "sub_idx", "sv")
 

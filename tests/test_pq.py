@@ -75,3 +75,15 @@ def test_pq_topk_scores_are_exact_cosines(spark, emb, codebook):
     diff = j.filter(F.col("p.cosine") != F.col("e.cosine"))
     assert j.count() > 0
     assert diff.count() == 0
+
+
+def test_train_on_sample_still_recalls(spark, emb):
+    """The scale path: codebooks trained on a deterministic half-sample
+    still give useful shortlists (re-rank recovers exactness); the sampled
+    codebook is itself deterministic."""
+    cb = pq_train(emb, iters=2, train_frac=0.5)
+    cb2 = pq_train(emb.repartition(5), iters=2, train_frac=0.5)
+    assert _rows(cb) == _rows(cb2)
+    exact = ivf_topk(emb, k=3).select("query_id", "neighbor_id")
+    approx = pq_topk(emb, k=3, codebook=cb).select("query_id", "neighbor_id")
+    assert approx.intersect(exact).count() / exact.count() >= 0.7
