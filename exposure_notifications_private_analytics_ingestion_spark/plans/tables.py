@@ -169,7 +169,20 @@ class TableProvider:
                 "WHEN NOT MATCHED THEN INSERT *"
             )
             return
-        target = self.read(name).select(*df.columns)
+        target = self.read(name)
+        # COW rewrites the affected rows from (kept ∪ source): a column-set
+        # mismatch would silently DROP target columns the source lacks, or
+        # die mid-write on extras — fail loudly instead
+        if set(target.columns) != set(df.columns):
+            missing = sorted(set(target.columns) - set(df.columns))
+            extra = sorted(set(df.columns) - set(target.columns))
+            raise ValueError(
+                f"merge_upsert source schema mismatch for {name}: "
+                f"source lacks {missing}, source adds {extra}. Conform the "
+                "source first (sources.evolution.conform) — a COW rewrite "
+                "with missing columns would silently lose them."
+            )
+        target = target.select(*df.columns)
         src_keys = df.select(*keys).distinct()
         if partition_col:
             path = self._ident(name)

@@ -145,3 +145,14 @@ def test_merge_upsert_converts_unpartitioned_layout_once(spark, provider):
     assert out.count() == 120
     path = provider._ident("t7")
     assert any(d.startswith("hour=") for d in os.listdir(path))
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark, provider):
+    provider.replace(_hours_table(spark), "t8")
+    narrow = spark.createDataFrame(
+        [("c000", 0, 0)], "conv_id string, turn_idx int, hour int"
+    )
+    with pytest.raises(ValueError, match="text"):
+        provider.merge_upsert(narrow, "t8", keys=["conv_id", "turn_idx"])
+    # table untouched by the refused upsert
+    assert provider.read("t8").count() == 120
