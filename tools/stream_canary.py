@@ -1,0 +1,87 @@
+"""Streaming-path canary: a 2-minute miniature of the actual steady-state
+job, compared to a reference floor.
+
+Round 4 found a window where BOTH the integer-CPU canary (hold 0.95) and a
+sequential-I/O probe (690 MB/s) were healthy while the real streaming job
+ran 2.4× below its reference rate on old and new code alike — whatever
+degraded (state-store sync latency, memory bandwidth, hypervisor steal on
+blocking syscalls) is invisible to synthetic kernels. The only probe that
+reliably classifies a window for STREAMING measurements is a small run of
+the streaming job itself: same bucketed assembler, same RocksDB state
+store, same epoch sink, ~450k turns (≈30-40 s in a healthy window, JVM
+startup excluded from the rate).
+
+Usage: python tools/stream_canary.py [--floor 40000] [--convs 40000]
+Exit 0 = at/above floor (proceed with bench/scaling), 1 = degraded window.
+The reported rate INCLUDES the one-time JVM/state-store startup (~5-8 s),
+so it under-reads the steady rate; the floor is calibrated for this same
+measurement: a healthy window lands ~55k turns/s here (vs the degraded
+window's 21k — 2.6× separation, ample margin either side of 40k).
+"""
+
+from __future__ import annotations
+
+import argparse
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--floor", type=float, default=40000.0,
+                    help="minimum healthy turns/s (startup-inclusive)")
+    ap.add_argument("--convs", type=int, default=40000)
+    ap.add_argument("--cores", type=int, default=32)
+    a = ap.parse_args()
+
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        TURNS_SCHEMA,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.session import get_spark
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+        StreamOptions,
+        start_stream_ingestion,
+    )
+
+    spark = get_spark(app_name="stream-canary", cores=a.cores,
+                      shuffle_partitions=a.cores)
+    tmp = tempfile.mkdtemp(prefix="stream-canary-")
+    try:
+        pdf = generate_turns(n_convs=a.convs, seed=7, hours=6, dup_frac=0.02)
+        n = len(pdf)
+        spark.createDataFrame(pdf, schema=TURNS_SCHEMA).repartition(
+            a.cores
+        ).write.mode("overwrite").parquet(f"{tmp}/t")
+        t0 = time.time()
+        q = start_stream_ingestion(
+            spark,
+            f"{tmp}/t",
+            f"{tmp}/o",
+            f"{tmp}/c",
+            StreamOptions(batch_size=5000, window_s=7200, watermark="1 hour",
+                          bucket_by=4096),
+        )
+        q.awaitTermination(600)
+        dt = time.time() - t0
+        rate = n / dt
+        verdict = "HEALTHY" if rate >= a.floor else "STREAM_DEGRADED"
+        print(
+            f'STREAM_CANARY {{"n_turns": {n}, "wall_s": {dt:.1f}, '
+            f'"turns_per_sec": {rate:.0f}, "floor": {a.floor:.0f}, '
+            f'"verdict": "{verdict}"}}'
+        )
+        return 0 if verdict == "HEALTHY" else 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
