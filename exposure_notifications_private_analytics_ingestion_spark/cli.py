@@ -10,6 +10,7 @@ tools/submit_job.py carries argv here; tools/submit.sh packages + submits):
   ... cli stream  --input ... --output ... --checkpoint ... [--continuous]
   ... cli delete  --table ... --window-start ... [--duration 43200]
   ... cli catchup --input ... --output ... --state state.json  (incremental)
+  ... cli profile --input ... --output ... --checkpoint ...  (HLL windows)
   ... cli compact --table ... [--target-file-mb 128]
 
 Local sandbox: python -m exposure_..._spark.cli <cmd> ... (master local[N]).
@@ -100,6 +101,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="withhold the newest N hours present in the data "
                          "(late-arrival settlement)")
 
+    pp = sub.add_parser("profile", help="streaming windowed cardinality "
+                        "profile: per-(window, role) distinct-conv HLL "
+                        "sketches, one row per watermark-closed window")
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--checkpoint", required=True)
+    pp.add_argument("--window", type=int, default=3600)
+    pp.add_argument("--watermark", default="30 minutes")
+    pp.add_argument("--continuous", action="store_true")
+
     pm = sub.add_parser("compact", help="rewrite oversplit partitions of a "
                         "parquet table to the target file size")
     pm.add_argument("--table", required=True)
@@ -163,6 +174,19 @@ def main(argv: list[str] | None = None) -> int:
             settle_hours=args.settle_hours,
         )
         print(json.dumps({"processed_hours": done}))
+    elif args.cmd == "profile":
+        from .streaming import start_profile_stream
+
+        q = start_profile_stream(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            window_s=args.window,
+            watermark=args.watermark,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
     elif args.cmd == "compact":
         from .plans.compaction import compact_table
 

@@ -142,3 +142,17 @@ def test_cli_catchup_and_compact(spark, tmp_path, capsys):
     assert res["partitions"] > 0
     # per-window output at this tiny scale is many small files -> rewritten
     assert len(res["rewritten"]) > 0
+
+
+def test_cli_profile(spark, turns_path, tmp_path):
+    """profile runs the windowed HLL cardinality stream to parquet."""
+    table, _n = turns_path
+    out, ck = str(tmp_path / "prof"), str(tmp_path / "pck")
+    rc = cli.main(
+        ["profile", "--input", table, "--output", out, "--checkpoint", ck,
+         "--window", "3600", "--watermark", "10 minutes"]
+    )
+    assert rc == 0
+    prof = spark.read.parquet(out)
+    assert prof.count() > 0
+    assert {"window_start", "role", "hll", "distinct_convs"} <= set(prof.columns)
