@@ -158,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
             available_now=not args.continuous,
         )
         q.awaitTermination()
+        # the DLQ side query has its own offsets; exiting before it drains
+        # would silently drop the dead-letter rows the flag exists to keep
+        if getattr(q, "dlq_query", None) is not None:
+            q.dlq_query.awaitTermination()
     elif args.cmd == "delete":
         start = calculate_window_start(args.window_start, args.duration, now)
         deleted = run_deletion(spark, args.table, start, args.duration)

@@ -102,14 +102,10 @@ def lm_perplexity(
         .groupBy(id_col, "w1", "w2")
         .agg(F.count("*").alias("n_occ"))
     )
-    in_vocab = unigram_counts.select(
-        F.col("w1").alias("w2"), F.lit(1).alias("_w2_known")
-    )
     scored = (
         bg.join(bigram_counts, ["w1", "w2"], "left")
         .join(unigram_counts, "w1", "left")
-        .join(in_vocab, "w2", "left")
-        .na.fill(0, ["c2", "c1", "_w2_known"])
+        .na.fill(0, ["c2", "c1"])
         .withColumn(
             "neg_logp",
             -F.log(
@@ -118,19 +114,30 @@ def lm_perplexity(
             ),
         )
     )
-    return (
-        scored.groupBy(id_col)
+    ppl = scored.groupBy(id_col).agg(
+        F.sum("n_occ").alias("n_bigrams"),
+        (F.sum(F.col("neg_logp") * F.col("n_occ")) / F.sum("n_occ")).alias(
+            "avg_neg_logp"
+        ),
+    )
+    # oov_frac is TOKEN-level (every token, including the first — a
+    # bigram-w2-only count would miss a leading OOV word entirely): explode
+    # the same tokenization, left-join vocabulary membership, ratio per doc
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text)), " ")).alias("w1"),
+    )
+    in_vocab = unigram_counts.select("w1", F.lit(1).alias("_known"))
+    oov = (
+        toks.join(in_vocab, "w1", "left")
+        .na.fill(0, ["_known"])
+        .groupBy(id_col)
         .agg(
-            F.sum("n_occ").alias("n_bigrams"),
-            (F.sum(F.col("neg_logp") * F.col("n_occ")) / F.sum("n_occ")).alias(
-                "avg_neg_logp"
-            ),
-            F.round(
-                F.sum((1 - F.col("_w2_known")) * F.col("n_occ"))
-                / F.sum("n_occ"),
-                6,
-            ).alias("oov_frac"),
+            F.round(F.sum(1 - F.col("_known")) / F.count("*"), 6).alias("oov_frac")
         )
+    )
+    return (
+        ppl.join(oov, id_col)
         .withColumn("perplexity", F.round(F.exp(F.col("avg_neg_logp")), 3))
         .withColumn("avg_neg_logp", F.round(F.col("avg_neg_logp"), 6))
         .select(id_col, "n_bigrams", "avg_neg_logp", "perplexity", "oov_frac")

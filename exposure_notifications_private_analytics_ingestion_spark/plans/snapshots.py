@@ -76,25 +76,27 @@ class SnapshotTable:
         return json.loads(bytes(raw).decode())
 
     def _commit(self, name: str, manifest: dict) -> int:
-        """Atomic: write to a temp name, rename into the version slot. A
-        racing committer loses the rename and gets a clear error instead of
-        a clobbered manifest."""
+        """Exclusive create of the version slot: ``create(path,
+        overwrite=False)`` throws if the file exists, on local FS and HDFS
+        alike — a racing committer to the same version number gets
+        ``SnapshotError`` instead of silently clobbering the winner (POSIX
+        ``rename`` REPLACES an existing destination, so an exists()+rename
+        dance has a silent-overwrite race). Readers that catch the small
+        window between create and close see invalid JSON and
+        ``_read_manifest`` raises rather than returning a half manifest."""
         vdir = self._vdir(name)
         self._fs.mkdirs(vdir)
         version = manifest["version"]
-        tmp = self._Path(
-            f"{self.warehouse}/{name}/_versions/.tmp-{_uuid.uuid4().hex}.json"
-        )
-        out = self._fs.create(tmp, True)
-        out.write(json.dumps(manifest).encode())
-        out.close()
         final = self._Path(f"{self.warehouse}/{name}/_versions/v{version:08d}.json")
-        if self._fs.exists(final) or not self._fs.rename(tmp, final):
-            self._fs.delete(tmp, False)
+        try:
+            out = self._fs.create(final, False)
+        except Exception as e:
             raise SnapshotError(
                 f"concurrent commit detected for {name} v{version}; retry "
                 "from the new latest version"
-            )
+            ) from e
+        out.write(json.dumps(manifest).encode())
+        out.close()
         return version
 
     def _write_data_files(self, df: DataFrame, name: str) -> list[str]:

@@ -200,8 +200,11 @@ class TableProvider:
             else:  # first upsert converts the table into the scoped layout
                 affected = target
             kept = affected.join(F.broadcast(src_keys), keys, "left_anti")
-            merged = kept.unionByName(df).cache()
-            merged.count()  # materialize before overwriting the source files
+            # localCheckpoint SEVERS lineage, not just materializes: a
+            # cache()+count() still recomputes lost blocks from the source
+            # files — which the overwrite below is truncating — silently
+            # corrupting the table if an executor dies mid-write
+            merged = kept.unionByName(df).localCheckpoint(eager=True)
             if layout_ok:
                 from .compaction import _dynamic_overwrite
 
@@ -218,16 +221,18 @@ class TableProvider:
                 )
         else:
             kept = target.join(F.broadcast(src_keys), keys, "left_anti")
-            merged = kept.unionByName(df).cache()
-            merged.count()
+            merged = kept.unionByName(df).localCheckpoint(eager=True)
             merged.write.mode("overwrite").parquet(self._ident(name))
-        merged.unpersist()
 
     def delete_where(self, name: str, predicate: str) -> None:
         if self.is_iceberg:
             self.spark.sql(f"DELETE FROM {self._ident(name)} WHERE {predicate}")
         else:
-            kept = self.read(name).filter(f"NOT ({predicate})").cache()
-            kept.count()  # materialize before overwriting the source files
+            # localCheckpoint, not cache: see merge_upsert — the overwrite
+            # truncates the very files lineage recompute would re-read
+            kept = (
+                self.read(name)
+                .filter(f"NOT ({predicate})")
+                .localCheckpoint(eager=True)
+            )
             kept.write.mode("overwrite").parquet(self._ident(name))
-            kept.unpersist()

@@ -90,14 +90,19 @@ def _schema_groups(spark: SparkSession, path: str) -> list[tuple[str, list[str]]
     """Group the directory's parquet files by their footer schema (one
     driver-side footer read per file, Hadoop FS — works on HDFS/S3 too).
     Returns [(schema_json, [file, ...]), ...] in first-seen order."""
+    from .quarantine import _visible
+
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    base = fs.makeQualified(hpath).toString()
     it = fs.listFiles(hpath, True)
     files = []
     while it.hasNext():
         p = it.next().getPath().toString()
-        if p.endswith(".parquet") and "/_" not in p.rsplit("/", 1)[-1]:
+        # component-wise hidden filter (Spark's rule): a file under an
+        # in-flight _temporary/ commit must not be footer-read or unioned
+        if p.endswith(".parquet") and _visible(p, base):
             files.append(p)
     groups: dict[str, list[str]] = {}
     for f in sorted(files):

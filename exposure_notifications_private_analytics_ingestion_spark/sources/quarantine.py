@@ -49,17 +49,27 @@ def read_resilient(
     )
 
 
+def _visible(path_str: str, base: str) -> bool:
+    """Spark's own hidden-file rule, applied to every component BELOW the
+    table root: any segment starting with '_' or '.' (``_temporary/`` from
+    an in-flight commit, ``_SUCCESS``, ``.hive-staging``) hides the file.
+    Checking only the basename would treat a live ``_temporary/.../part-x``
+    as a scan-skipped suspect and quarantine an in-flight write."""
+    rel = path_str[len(base):].lstrip("/") if path_str.startswith(base) else path_str
+    return not any(seg.startswith(("_", ".")) for seg in rel.split("/"))
+
+
 def _list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    base = fs.makeQualified(hpath).toString()
     it = fs.listFiles(hpath, True)
     out = []
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
-        name = p.rsplit("/", 1)[-1]
-        if not name.startswith(("_", ".")):
+        if _visible(p, base):
             out.append((p, int(st.getLen())))
     return out
 
@@ -135,8 +145,18 @@ def quarantine_corrupt_files(
                     "at_unix": int(time.time()),
                 }
             )
+    # append to the manifest (read-then-rewrite: FS append() is not
+    # available on every store) — prior quarantine records are forensic
+    # evidence and must survive later runs
     mpath = jvm.org.apache.hadoop.fs.Path(quarantine_dir, "_manifest.jsonl")
+    prior = b""
+    if fs.exists(mpath):
+        stream = fs.open(mpath)
+        try:
+            prior = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
     out = fs.create(mpath, True)
-    out.write(("\n".join(json.dumps(m) for m in manifest) + "\n").encode())
+    out.write(prior + ("\n".join(json.dumps(m) for m in manifest) + "\n").encode())
     out.close()
     return moved

@@ -547,7 +547,10 @@ def _guard_checkpoint_options(spark: SparkSession, checkpoint: str, opts: Stream
     """Refuse to resume a checkpoint whose state was written under a
     different state layout. The fingerprint lives NEXT TO the checkpoint
     (``<ckpt>/_enpa_options.json``) so it travels with it; written through
-    the Hadoop FS so it works on HDFS/S3 checkpoints too."""
+    the Hadoop FS so it works on HDFS/S3 checkpoints too. This function
+    only CHECKS — ``_record_checkpoint_options`` runs after the query has
+    actually started, so a failed first start (bad sink path etc.) does not
+    lock options into an empty checkpoint."""
     import json as _json
 
     jvm = spark.sparkContext._jvm
@@ -577,11 +580,23 @@ def _guard_checkpoint_options(spark: SparkSession, checkpoint: str, opts: Stream
                 "Either restore the original options or start a NEW "
                 "checkpoint directory (reprocessing the source)."
             )
-    else:
-        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint))
-        out = fs.create(fpath, True)
-        out.write(_json.dumps(current).encode())
-        out.close()
+
+
+def _record_checkpoint_options(
+    spark: SparkSession, checkpoint: str, opts: StreamOptions
+) -> None:
+    import json as _json
+
+    jvm = spark.sparkContext._jvm
+    fpath = jvm.org.apache.hadoop.fs.Path(checkpoint, "_enpa_options.json")
+    fs = fpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(fpath):
+        return
+    current = {f: getattr(opts, f) for f in _STATE_LAYOUT_FIELDS}
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(checkpoint))
+    out = fs.create(fpath, True)
+    out.write(_json.dumps(current).encode())
+    out.close()
 
 
 def start_stream_ingestion(
@@ -622,6 +637,8 @@ def start_stream_ingestion(
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
+    # record the layout fingerprint only once the query is actually live
+    _record_checkpoint_options(spark, checkpoint, opts)
     # side-channel handle: callers that need to await/stop the DLQ (tests,
     # a graceful shutdown) reach it as q.dlq_query; availableNow runs drain
     # it on their own

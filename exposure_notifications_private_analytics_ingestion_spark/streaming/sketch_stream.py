@@ -31,8 +31,6 @@ from pyspark.sql import functions as F
 from ..model.schema import TURNS_SCHEMA
 from ..operators.sketches import DEFAULT_LGK
 
-PROFILE_COLS = ["window_start", "window_end", "role", "hll", "n_rows", "distinct_convs"]
-
 
 def windowed_profile(
     turns: DataFrame, window_s: int = 3600, lgk: int = DEFAULT_LGK

@@ -46,6 +46,17 @@ def test_fluent_text_scores_lower_than_shuffled(spark, corpus):
     assert got["fluent"]["oov_frac"] == 0.0 == got["shuffled"]["oov_frac"]
 
 
+def test_oov_frac_is_token_level_including_first_token(spark, corpus):
+    """A leading OOV word must count: 'zxq the cat sat' is 1/4 OOV even
+    though every bigram SECOND word is in-vocabulary."""
+    b, u, v = train_bigram_lm(corpus)
+    probe = spark.createDataFrame(
+        [("lead", "zxq the cat sat")], "doc_id string, text string"
+    )
+    row = lm_perplexity(probe, b, u, v).collect()[0]
+    assert row["oov_frac"] == 0.25
+
+
 def test_unseen_bigrams_get_finite_floor(spark, corpus):
     b, u, v = train_bigram_lm(corpus)
     probe = spark.createDataFrame(

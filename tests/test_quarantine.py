@@ -71,3 +71,39 @@ def test_quarantine_restores_strict_reads(spark, damaged_table, tmp_path):
     assert spark.read.schema(TURNS_SCHEMA).parquet(path).count() == n_rows
     # idempotent: nothing left to quarantine
     assert quarantine_corrupt_files(spark, path, TURNS_SCHEMA, qdir) == []
+
+
+def test_manifest_appends_across_runs(spark, tmp_path):
+    """A second quarantine run must not clobber the forensic record of the
+    first (manifest is append-semantics)."""
+    path = str(tmp_path / "turns")
+    pdf = generate_turns(n_convs=10, seed=3, hours=1, dup_frac=0.0)
+    spark.createDataFrame(pdf, schema=TURNS_SCHEMA).coalesce(1).write.parquet(path)
+    qdir = str(tmp_path / "q")
+
+    with open(os.path.join(path, "part-badA.parquet"), "wb") as f:
+        f.write(b"PAR1" + b"\x01" * 64)
+    assert len(quarantine_corrupt_files(spark, path, TURNS_SCHEMA, qdir)) == 1
+
+    with open(os.path.join(path, "part-badB.parquet"), "wb") as f:
+        f.write(b"PAR1" + b"\x02" * 64)
+    assert len(quarantine_corrupt_files(spark, path, TURNS_SCHEMA, qdir)) == 1
+
+    with open(os.path.join(qdir, "_manifest.jsonl")) as f:
+        names = [json.loads(line)["file"].rsplit("/", 1)[-1] for line in f if line.strip()]
+    assert names == ["part-badA.parquet", "part-badB.parquet"]
+
+
+def test_inflight_temporary_files_are_not_suspects(spark, tmp_path):
+    """Files under a hidden _temporary/ commit dir (concurrent writer) must
+    not appear in the inventory — quarantining them would break the
+    in-flight commit."""
+    path = str(tmp_path / "turns")
+    pdf = generate_turns(n_convs=10, seed=4, hours=1, dup_frac=0.0)
+    spark.createDataFrame(pdf, schema=TURNS_SCHEMA).coalesce(1).write.parquet(path)
+    tdir = os.path.join(path, "_temporary", "0")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "part-inflight.parquet"), "wb") as f:
+        f.write(b"PAR1" + b"\x03" * 64)  # looks corrupt; must be ignored
+    inv = corrupt_file_inventory(spark, path, TURNS_SCHEMA).collect()
+    assert inv == []
