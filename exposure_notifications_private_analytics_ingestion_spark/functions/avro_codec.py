@@ -98,9 +98,19 @@ def encode_packet(
     u = uuid.encode()
     _wv(buf, len(u))
     buf.write(u)
-    _wbytes(buf, encryption_key_id.encode() if encryption_key_id else None)
+    # `is not None`, never truthiness: Avro's [null, string] union
+    # distinguishes "" from null, and a falsy check silently rewrites an
+    # empty key id / empty nonce into null (found by hypothesis round-trip)
+    _wbytes(
+        buf, encryption_key_id.encode() if encryption_key_id is not None else None
+    )
     _wv(buf, int(r_pit))
-    _wbytes(buf, version_configuration.encode() if version_configuration else None)
+    _wbytes(
+        buf,
+        version_configuration.encode()
+        if version_configuration is not None
+        else None,
+    )
     _wbytes(buf, device_nonce)
     p = bytes(encrypted_payload)
     _wv(buf, len(p))
