@@ -179,7 +179,7 @@ def encode_mp4_header(
 # ---------------------------------------------------------------- decoder
 
 
-def decode_media(buf: bytes, strict: bool = False) -> dict:
+def _decode_media_raising(buf: bytes, strict: bool = False) -> dict:
     """Parse real image metadata from the leading bytes of ``buf``.
 
     PNG: verifies the 8-byte signature, reads IHDR (first chunk per spec) via
@@ -254,7 +254,7 @@ def decode_media(buf: bytes, strict: bool = False) -> dict:
     }
 
 
-def decode_audio(buf: bytes, strict: bool = False) -> dict:
+def _decode_audio_raising(buf: bytes, strict: bool = False) -> dict:
     """Parse RIFF/WAVE metadata by walking the chunk chain (spec: 8-byte
     chunk headers, word-aligned): reads the fmt chunk for format / channels /
     rate / bits and the data chunk length for the frame count and duration.
@@ -308,7 +308,7 @@ def _walk_boxes(buf: bytes, start: int, end: int):
         i += size
 
 
-def decode_video(buf: bytes, strict: bool = False) -> dict:
+def _decode_video_raising(buf: bytes, strict: bool = False) -> dict:
     """Parse MP4 (ISO-BMFF) stream metadata by recursively walking the box
     tree: mvhd yields timescale/duration, the first tkhd yields 16.16
     fixed-point width/height — the same boxes ffprobe reads for stream
@@ -336,6 +336,56 @@ def decode_video(buf: bytes, strict: bool = False) -> dict:
         raise ValueError(f"unknown video format (leading bytes {buf[:8]!r})")
     return {"format": "unknown", "width": 0, "height": 0, "duration_ms": 0,
             "timescale": 0, "ok": False}
+
+
+
+
+# --------------------------------------------------------- total decoders
+#
+# The raising parsers above assume recognized formats are WELL-FORMED; at
+# corpus scale that assumption is false (truncated uploads with valid
+# magic are routine), and an uncaught ValueError inside mapInPandas kills
+# the whole task. The public decoders are TOTAL in non-strict mode: any
+# parse failure degrades to a stub row carrying the sniffed format and
+# ok=False (hypothesis pins "never raises on arbitrary bytes" in
+# tests/test_property.py). strict=True keeps the raising contract for
+# validation pipelines.
+
+_PARSE_ERRORS = (ValueError, struct.error, IndexError)
+
+
+def decode_media(buf: bytes, strict: bool = False) -> dict:
+    try:
+        return _decode_media_raising(buf, strict)
+    except _PARSE_ERRORS:
+        if strict:
+            raise
+        fmt = ("png" if buf[:8] == _PNG_SIG else
+               "jpeg" if buf[:2] == b"\xff\xd8" else
+               "gif" if buf[:6] in (b"GIF87a", b"GIF89a") else "unknown")
+        return {"format": fmt, "width": 0, "height": 0, "bit_depth": 0,
+                "channels": 0, "ok": False}
+
+
+def decode_audio(buf: bytes, strict: bool = False) -> dict:
+    try:
+        return _decode_audio_raising(buf, strict)
+    except _PARSE_ERRORS:
+        if strict:
+            raise
+        fmt = "wav" if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE" else "unknown"
+        return {"format": fmt, "codec": "", "sample_rate": 0, "channels": 0,
+                "bits": 0, "n_frames": 0, "duration_ms": 0, "ok": False}
+
+
+def decode_video(buf: bytes, strict: bool = False) -> dict:
+    try:
+        return _decode_video_raising(buf, strict)
+    except _PARSE_ERRORS:
+        if strict:
+            raise
+        return {"format": "unknown", "width": 0, "height": 0,
+                "duration_ms": 0, "timescale": 0, "ok": False}
 
 
 # ------------------------------------------------------------ Spark plumbing

@@ -111,3 +111,59 @@ def test_container_detects_sync_corruption(packets, flip_pos):
         raise AssertionError("corrupted sync marker was not detected")
     except ValueError:
         pass
+
+
+# --------------------------------------------------------- media decoders
+
+from exposure_notifications_private_analytics_ingestion_spark.operators.multimodal import (  # noqa: E402
+    decode_audio,
+    decode_media,
+    decode_video,
+    encode_gif,
+    encode_jpeg_header,
+    encode_png,
+    encode_wav,
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_magic_prefix = st.sampled_from(
+    [b"", _PNG_SIG, b"\xff\xd8", b"GIF89a", b"RIFF", b"RIFFxxxxWAVE"]
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_magic_prefix, st.binary(max_size=128))
+def test_decoders_are_total_in_nonstrict_mode(prefix, junk):
+    """Arbitrary bytes — including valid magics followed by garbage (the
+    truncated-upload case) — must NEVER raise in non-strict mode: an
+    uncaught parse error inside mapInPandas kills the whole task at corpus
+    scale. The sniffed format survives into the stub row."""
+    buf = prefix + junk
+    for dec in (decode_media, decode_audio, decode_video):
+        out = dec(buf, strict=False)
+        assert isinstance(out, dict) and "ok" in out
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+)
+def test_image_decoders_roundtrip_dimensions(w, h):
+    assert decode_media(encode_png(w, h), strict=True)["width"] == w
+    assert decode_media(encode_jpeg_header(w, h), strict=True)["height"] == h
+    g = decode_media(encode_gif(min(w, 65535), min(h, 65535)), strict=True)
+    assert (g["width"], g["height"]) == (min(w, 65535), min(h, 65535))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from([8000, 16000, 44100, 48000]),
+    st.integers(min_value=0, max_value=5000),
+)
+def test_wav_roundtrip_frames(channels, rate, n_frames):
+    buf = encode_wav(sample_rate=rate, n_frames=n_frames, channels=channels)
+    out = decode_audio(buf, strict=True)
+    assert out["ok"] and out["channels"] == channels
+    assert out["sample_rate"] == rate and out["n_frames"] == n_frames
