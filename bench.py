@@ -68,6 +68,37 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="enpa-bench-")
 
+    # classify THIS window for streaming measurements before timing anything:
+    # a miniature of the steady job (see tools/stream_canary.py and the
+    # BENCH/BASELINE.md round-4 addendum — the host can degrade the
+    # streaming path 2.4x while every synthetic probe stays green). The
+    # verdict rides along in the output so a depressed streaming number is
+    # readable as a window artifact, not an engine property.
+    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
+        TURNS_SCHEMA as _TS,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns as _gen,
+    )
+    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
+        StreamOptions as _SO,
+        start_stream_ingestion as _ssi,
+    )
+
+    _cpdf = _gen(n_convs=15000, seed=7, hours=6, dup_frac=0.02)
+    spark.createDataFrame(_cpdf, schema=_TS).repartition(CPUS).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/canary-t")
+    t0 = time.time()
+    _ssi(
+        spark, f"{tmp}/canary-t", f"{tmp}/canary-o", f"{tmp}/canary-c",
+        _SO(batch_size=5000, window_s=7200, watermark="1 hour", bucket_by=4096),
+    ).awaitTermination(600)
+    canary_tps = round(len(_cpdf) / (time.time() - t0), 1)
+    # healthy windows measure ~55k startup-inclusive at this size; degraded
+    # windows measured 9-21k (floor mirrors tools/stream_canary.py)
+    stream_window = "HEALTHY" if canary_tps >= 40000 else "DEGRADED"
+
     # every driver-checked registry query, in registry (core-first) order
     for name, (fn, _sql) in q.registry().items():
         bench(name, fn)
@@ -212,6 +243,8 @@ def main():
                     "batch_close_p95_ms_steady": p95_steady,
                 },
                 "avro_roundtrip_ok": avro_roundtrip_ok,
+                "stream_window": stream_window,
+                "stream_canary_turns_per_sec": canary_tps,
                 "scaling": scaling,
             },
             f,
@@ -233,6 +266,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extra": {
             "steady_turns_per_sec": steady_tps,
+            "stream_window": stream_window,
             "batch_close_p95_ms": p95_steady,
             "scaling_efficiency": (scaling or {}).get("headline_efficiency"),
             "scaling_protocol": (scaling or {}).get("protocol_short"),
