@@ -276,7 +276,22 @@ def write_container(
 
 def read_container(blob: bytes) -> tuple[dict, list[dict]]:
     """Parse an object-container file of PrioDataSharePacket records.
-    Returns (metadata, records); verifies magic and per-block sync markers."""
+    Returns (metadata, records); verifies magic and per-block sync markers.
+
+    Error contract: ANY malformed input raises ``ValueError`` — a truncated
+    varint or short read must not leak ``IndexError``/``struct.error`` out
+    of a 10^8-file lake scan, where callers distinguish 'corrupt file,
+    quarantine it' from 'bug, crash' by exception type (hypothesis-pinned
+    in tests/test_property.py)."""
+    try:
+        return _read_container_raising(blob)
+    except ValueError:
+        raise
+    except (IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt avro container: {type(e).__name__}: {e}") from e
+
+
+def _read_container_raising(blob: bytes) -> tuple[dict, list[dict]]:
     buf = io.BytesIO(blob)
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object-container file (bad magic)")

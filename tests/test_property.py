@@ -167,3 +167,38 @@ def test_wav_roundtrip_frames(channels, rate, n_frames):
     out = decode_audio(buf, strict=True)
     assert out["ok"] and out["channels"] == channels
     assert out["sample_rate"] == rate and out["n_frames"] == n_frames
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_read_container_error_contract(junk):
+    """Arbitrary bytes (with or without the magic) either parse or raise
+    ValueError — never IndexError/UnicodeDecodeError: lake-scan callers
+    route on 'ValueError = corrupt file, quarantine' vs 'anything else =
+    engine bug'."""
+    blob = b"Obj\x01" + junk
+    for candidate in (junk, blob):
+        try:
+            read_container(candidate)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(packet_strategy, min_size=1, max_size=6), st.integers(min_value=1))
+def test_truncated_container_raises_valueerror(packets, cut):
+    recs = [
+        encode_packet(
+            p["uuid"], p["encryption_key_id"], p["r_pit"],
+            p["version_configuration"], p["device_nonce"], p["encrypted_payload"],
+        )
+        for p in packets
+    ]
+    blob = write_container(recs, sync=container_sync_marker("t"))
+    cut = cut % (len(blob) - 1) + 1  # strictly shorter, non-empty
+    try:
+        meta, out = read_container(blob[:cut])
+        # a short prefix that still parses must not fabricate records
+        assert len(out) <= len(packets)
+    except ValueError:
+        pass
