@@ -202,3 +202,37 @@ def test_truncated_container_raises_valueerror(packets, cut):
         assert len(out) <= len(packets)
     except ValueError:
         pass
+
+
+# ------------------------------------------------------------- rpit kernel
+
+import pandas as pd  # noqa: E402
+
+from exposure_notifications_private_analytics_ingestion_spark.model.schema import PRIME  # noqa: E402
+from exposure_notifications_private_analytics_ingestion_spark.model.validate import (  # noqa: E402
+    _rpit_udf,
+)
+
+_rpit = _rpit_udf.func  # the raw pandas kernel under the pandas_udf wrapper
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(min_size=1, max_size=40), min_size=1, max_size=16),
+    st.integers(min_value=0, max_value=4096),
+)
+def test_rpit_contract(uuids, bins):
+    """For arbitrary uuid strings and bin counts: deterministic, in
+    [1, PRIME), never an n-th root of unity for n = nextPow2(bins+1) —
+    the DataShare.java:319-349 contract the packets carry downstream."""
+    u = pd.Series(uuids)
+    b = pd.Series([bins] * len(uuids))
+    r1 = _rpit(u, b)
+    r2 = _rpit(u.sample(frac=1, random_state=7).sort_index(), b)
+    assert list(r1) == list(r2)  # deterministic, order-independent
+    n = 1
+    while n < bins + 1:
+        n *= 2
+    for v in r1:
+        assert 0 < v < PRIME
+        assert pow(int(v), n, PRIME) != 1  # not an n-th root of unity
