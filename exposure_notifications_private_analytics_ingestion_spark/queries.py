@@ -2020,7 +2020,59 @@ def extended_registry() -> dict[str, tuple]:
         "mixture_summary": (q_mixture_summary, _sql_mixture_summary()),
         "sequence_dedup_groups": (q_sequence_dedup_groups, SQL_SEQUENCE_DEDUP_GROUPS),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+        "fuzzy_part_match": (q_fuzzy_part_match, SQL_FUZZY_PART_MATCH),
     }
+
+
+def q_fuzzy_part_match(spark, sf_dir):
+    # R-S fuzzy entity matching: best trigram-Jaccard match for each
+    # left-split part name among the right-split part names (two disjoint
+    # key spaces of the same table so true near-matches exist). Candidates
+    # via trigram equi-join — never all-pairs.
+    from .operators.fuzzy_join import fuzzy_match
+
+    part = _read(spark, sf_dir, "part")
+    left = part.filter(F.col("p_partkey") % 5 == 0)
+    right = part.filter(F.col("p_partkey") % 5 == 1)
+    return fuzzy_match(
+        left, right, "p_partkey", "p_name", "p_partkey", "p_name",
+        threshold=0.5,
+    )
+
+
+SQL_FUZZY_PART_MATCH = """
+WITH l AS (SELECT p_partkey AS l_id, lower(p_name) AS s FROM part WHERE p_partkey % 5 = 0),
+r AS (SELECT p_partkey AS r_id, lower(p_name) AS s FROM part WHERE p_partkey % 5 = 1),
+lt AS (
+  SELECT DISTINCT l_id, substr(s, gs.i::INT, 3) AS tri
+  FROM l, LATERAL (SELECT unnest(generate_series(1, length(l.s) - 2)) AS i) gs
+  WHERE length(s) >= 3
+),
+rt AS (
+  SELECT DISTINCT r_id, substr(s, gs.i::INT, 3) AS tri
+  FROM r, LATERAL (SELECT unnest(generate_series(1, length(r.s) - 2)) AS i) gs
+  WHERE length(s) >= 3
+),
+ls AS (SELECT l_id, count(*) AS n_l FROM lt GROUP BY l_id),
+rs AS (SELECT r_id, count(*) AS n_r FROM rt GROUP BY r_id),
+shared AS (
+  SELECT l_id, r_id, count(*) AS n_shared
+  FROM lt JOIN rt USING (tri) GROUP BY l_id, r_id
+),
+scored AS (
+  SELECT l_id, r_id,
+         round(n_shared / (n_l + n_r - n_shared), 6) AS jaccard
+  FROM shared JOIN ls USING (l_id) JOIN rs USING (r_id)
+  WHERE n_shared / (n_l + n_r - n_shared) >= 0.5
+),
+best AS (
+  SELECT l_id, r_id, jaccard,
+         row_number() OVER (PARTITION BY l_id ORDER BY jaccard DESC, r_id ASC) AS rk
+  FROM scored
+)
+SELECT l_id AS p_partkey, r_id AS match_p_partkey, jaccard
+FROM best WHERE rk = 1
+"""
 
 
 def q_normalize_text(spark, sf_dir):

@@ -252,3 +252,30 @@ def test_normalize_text_planted(spark):
     assert out[2]["norm_md5"] == h("tabs and newlines here")
     assert out[3]["norm_md5"] == h("already clean")
     assert out[1]["removed_chars"] == len(rows.text[0]) - len("Hello world")
+
+
+def test_fuzzy_match_planted_near_duplicates(spark):
+    """Near-identical names match above threshold with the best match
+    winning; unrelated names don't match; sub-trigram strings drop."""
+    from exposure_notifications_private_analytics_ingestion_spark.operators.fuzzy_join import (
+        fuzzy_match,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "acme tool supply"), (2, "zz"), (3, "quantum widgets ltd")],
+        "id bigint, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "acme tool supplies"),   # near-dup of 1
+            (11, "acme tools"),           # weaker match of 1
+            (12, "completely different"), # noise
+        ],
+        "id bigint, name string",
+    )
+    out = {r["id"]: r for r in fuzzy_match(
+        left, right, "id", "name", "id", "name", threshold=0.4
+    ).collect()}
+    assert set(out) == {1}                       # 2 too short, 3 no match
+    assert out[1]["match_id"] == 10              # best, not just any
+    assert out[1]["jaccard"] > 0.7
