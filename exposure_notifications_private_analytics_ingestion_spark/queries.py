@@ -2021,7 +2021,60 @@ def extended_registry() -> dict[str, tuple]:
         "sequence_dedup_groups": (q_sequence_dedup_groups, SQL_SEQUENCE_DEDUP_GROUPS),
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
         "fuzzy_part_match": (q_fuzzy_part_match, SQL_FUZZY_PART_MATCH),
+        "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     }
+
+
+def q_sessionize_events(spark, sf_dir):
+    # gaps-and-islands sessionization: assign each EVENT its session id
+    # (per user, new session when the gap to the previous event exceeds 30
+    # min), then roll sessions up. Complements `session_windows` (the
+    # aggregate form): this is the label-assignment form a training
+    # pipeline needs to SPLIT a stream into episodes. Two windows over the
+    # same (user_id × ts) partitioning — one shuffle, no self-join.
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.coalesce(
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+        F.lit(0),
+    )
+    labeled = ev.withColumn(
+        "session_idx",
+        F.sum(F.when(gap_s > 1800, 1).otherwise(0)).over(w).cast("long"),
+    )
+    return (
+        labeled.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         coalesce(epoch(ts) - epoch(lag(ts) OVER w), 0) AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+labeled AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 6) AS session_value
+FROM labeled GROUP BY user_id, session_idx
+"""
 
 
 def q_fuzzy_part_match(spark, sf_dir):

@@ -279,3 +279,29 @@ def test_fuzzy_match_planted_near_duplicates(spark):
     assert set(out) == {1}                       # 2 too short, 3 no match
     assert out[1]["match_id"] == 10              # best, not just any
     assert out[1]["jaccard"] > 0.7
+
+
+def test_sessionize_splits_on_gap(spark, tmp_path):
+    """Planted timeline: events 10 min apart share a session; a 31-min gap
+    opens a new one."""
+    import pandas as pd
+
+    from exposure_notifications_private_analytics_ingestion_spark.queries import (
+        q_sessionize_events,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        {"event_id": i, "ts": t0 + pd.Timedelta(minutes=m), "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"}
+        for i, m in enumerate([0, 10, 20, 51, 61])  # gap 31 min after idx 2
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    out = sorted(
+        (r["session_idx"], r["n_events"])
+        for r in q_sessionize_events(spark, sf).collect()
+    )
+    assert out == [(0, 3), (1, 2)]
