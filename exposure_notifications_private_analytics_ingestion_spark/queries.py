@@ -2022,6 +2022,7 @@ def extended_registry() -> dict[str, tuple]:
         "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
         "fuzzy_part_match": (q_fuzzy_part_match, SQL_FUZZY_PART_MATCH),
         "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+        "cep_pattern_match": (q_cep_pattern_match, SQL_CEP_PATTERN_MATCH),
     }
 
 
@@ -2074,6 +2075,53 @@ SELECT user_id, session_idx,
        max(ts) AS session_end,
        round(sum(value), 6) AS session_value
 FROM labeled GROUP BY user_id, session_idx
+"""
+
+
+def q_cep_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style CEP over the event stream: per user, the
+    time-ordered event-symbol string is scanned for ``v[ce]*p`` — a view,
+    any run of clicks/errors, then a purchase with no intervening view /
+    signup (operators/cep.py; one hash-agg builds the sequence, matching is
+    a codegen regexp scan). Users with at least one match are returned with
+    their match count, earliest matched episode, and history length."""
+    from .operators.cep import pattern_match
+
+    ev = _read(spark, sf_dir, "events")
+    out = pattern_match(
+        ev,
+        key="user_id",
+        ts_ms=_ms(),
+        tiebreak=F.col("event_id"),
+        type_col="event_type",
+        symbols={"view": "v", "click": "c", "purchase": "p",
+                 "signup": "s", "error": "e"},
+        pattern="v[ce]*p",
+    )
+    return out.filter(F.col("n_matches") >= 1).select(
+        "user_id", "n_matches", "first_match", "seq_len"
+    )
+
+
+SQL_CEP_PATTERN_MATCH = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      WHEN 'error' THEN 'e' ELSE '_' END,
+                    '' ORDER BY epoch_us(ts) // 1000, event_id) AS s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       len(regexp_extract_all(s, 'v[ce]*p'))::BIGINT AS n_matches,
+       regexp_extract(s, 'v[ce]*p') AS first_match,
+       length(s)::BIGINT AS seq_len
+FROM seq
+WHERE len(regexp_extract_all(s, 'v[ce]*p')) >= 1
 """
 
 

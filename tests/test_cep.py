@@ -1,0 +1,132 @@
+"""MATCH_RECOGNIZE-style CEP pattern matching (operators/cep.py).
+
+The extended-registry oracle (tests/test_extended_oracle.py) certifies
+`cep_pattern_match` against DuckDB's regex scan; these tests pin the
+semantics the oracle can't see: planted episodes with known match counts,
+non-overlapping leftmost scanning, adjacency broken by unmapped symbols,
+determinism under repartitioning, and the reserved-name / bad-symbol error
+contracts.
+"""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from exposure_notifications_private_analytics_ingestion_spark.operators.cep import (  # noqa: E402
+    pattern_match,
+    symbol_sequences,
+)
+
+SYMBOLS = {"view": "v", "click": "c", "purchase": "p"}
+
+
+def _ts(s):
+    return datetime(2024, 1, 1, 0, 0, int(s), tzinfo=timezone.utc)
+
+
+def _events(spark, rows):
+    # rows: (user_id, event_id, second, event_type)
+    return spark.createDataFrame(
+        [(u, e, _ts(s), t) for u, e, s, t in rows],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+
+def _match(df, pattern="vc*p"):
+    return pattern_match(
+        df,
+        key="user_id",
+        ts_ms=F.expr("unix_micros(ts) div 1000"),
+        tiebreak=F.col("event_id"),
+        type_col="event_type",
+        symbols=SYMBOLS,
+        pattern=pattern,
+    )
+
+
+def test_planted_episodes_counted(spark):
+    rows = [
+        # user 1: v c c p v p  -> two non-overlapping matches of vc*p
+        (1, 1, 1, "view"), (1, 2, 2, "click"), (1, 3, 3, "click"),
+        (1, 4, 4, "purchase"), (1, 5, 5, "view"), (1, 6, 6, "purchase"),
+        # user 2: p v c (purchase precedes view) -> no match
+        (2, 1, 1, "purchase"), (2, 2, 2, "view"), (2, 3, 3, "click"),
+    ]
+    out = {r["user_id"]: r for r in _match(_events(spark, rows)).collect()}
+    assert out[1]["n_matches"] == 2
+    assert out[1]["first_match"] == "vccp"
+    assert out[1]["seq_len"] == 6
+    assert out[2]["n_matches"] == 0
+    assert out[2]["first_match"] == ""
+
+
+def test_unmapped_symbol_breaks_adjacency(spark):
+    # v c X p: the unmapped 'refund' becomes '_' which vc*p cannot cross
+    rows = [
+        (1, 1, 1, "view"), (1, 2, 2, "click"),
+        (1, 3, 3, "refund"), (1, 4, 4, "purchase"),
+    ]
+    out = _match(_events(spark, rows)).collect()[0]
+    assert out["n_matches"] == 0
+    assert out["seq_len"] == 4  # unmapped events still occupy a slot
+
+
+def test_order_is_ts_then_tiebreak_and_partitioning_independent(spark):
+    # same timestamp: event_id breaks the tie -> v(1) before p(2)
+    rows = [(1, 2, 5, "purchase"), (1, 1, 5, "view")]
+    df = _events(spark, rows)
+    seq1 = symbol_sequences(
+        df, "user_id", F.expr("unix_micros(ts) div 1000"),
+        F.col("event_id"), "event_type", SYMBOLS,
+    ).collect()[0]["seq"]
+    seq2 = symbol_sequences(
+        df.repartition(7), "user_id", F.expr("unix_micros(ts) div 1000"),
+        F.col("event_id"), "event_type", SYMBOLS,
+    ).collect()[0]["seq"]
+    assert seq1 == seq2 == "vp"
+
+
+def test_null_rows_are_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _ts(1), "view"), (1, 2, None, "purchase"), (None, 3, _ts(3), "view")],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    rows = _match(df).collect()
+    assert len(rows) == 1 and rows[0]["seq_len"] == 1
+
+
+def test_nonoverlapping_leftmost_scan(spark):
+    # v v p: leftmost greedy vc*p with [^] not allowed to restart inside —
+    # 'v.*?p'-style overlap questions don't arise; here 'v' at idx0 can't
+    # match (vv breaks c*), the scan resumes and matches v(1)p(2) once.
+    rows = [(1, 1, 1, "view"), (1, 2, 2, "view"), (1, 3, 3, "purchase")]
+    out = _match(_events(spark, rows)).collect()[0]
+    assert out["n_matches"] == 1
+    assert out["first_match"] == "vp"
+
+
+def test_error_contracts(spark):
+    df = _events(spark, [(1, 1, 1, "view")])
+    with pytest.raises(ValueError, match="single char"):
+        pattern_match(
+            df, "user_id", F.expr("unix_micros(ts) div 1000"), F.col("event_id"),
+            "event_type", {"view": "vv"}, "v",
+        )
+    with pytest.raises(ValueError, match="reserves"):
+        pattern_match(
+            df.withColumn("_cep_ms", F.lit(1)), "user_id",
+            F.expr("unix_micros(ts) div 1000"), F.col("event_id"),
+            "event_type", SYMBOLS, "v",
+        )
+
+
+def test_no_python_in_plan(spark):
+    plan = _match(_events(spark, [(1, 1, 1, "view")]))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
