@@ -2023,6 +2023,7 @@ def extended_registry() -> dict[str, tuple]:
         "fuzzy_part_match": (q_fuzzy_part_match, SQL_FUZZY_PART_MATCH),
         "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
         "cep_pattern_match": (q_cep_pattern_match, SQL_CEP_PATTERN_MATCH),
+        "episode_cep_match": (q_episode_cep_match, SQL_EPISODE_CEP_MATCH),
     }
 
 
@@ -2122,6 +2123,60 @@ SELECT user_id,
        length(s)::BIGINT AS seq_len
 FROM seq
 WHERE len(regexp_extract_all(s, 'v[ce]*p')) >= 1
+"""
+
+
+def q_episode_cep_match(spark, sf_dir):
+    """Episode-scoped CEP: sessions split on a 30-min gap, then the
+    ``v[ce]*p`` pattern matched WITHIN each episode (operators/cep.py::
+    episode_pattern_match — the batch twin of streaming/cep_stream.py,
+    which emits the same rows as episodes close under the watermark)."""
+    from .operators.cep import episode_pattern_match
+
+    ev = _read(spark, sf_dir, "events")
+    return episode_pattern_match(
+        ev,
+        key="user_id",
+        ts_ms=_ms(),
+        tiebreak=F.col("event_id"),
+        type_col="event_type",
+        symbols={"view": "v", "click": "c", "purchase": "p",
+                 "signup": "s", "error": "e"},
+        pattern="v[ce]*p",
+        gap_s=1800,
+    )
+
+
+SQL_EPISODE_CEP_MATCH = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+         CASE event_type
+           WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+           WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+           WHEN 'error' THEN 'e' ELSE '_' END AS sym
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL
+),
+g AS (
+  SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+),
+l AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS ep
+  FROM g
+),
+s AS (
+  SELECT user_id, ep,
+         min(ms) AS episode_start_ms, max(ms) AS episode_end_ms,
+         string_agg(sym, '' ORDER BY ms, event_id) AS seq
+  FROM l GROUP BY user_id, ep
+)
+SELECT user_id, episode_start_ms, episode_end_ms,
+       len(regexp_extract_all(seq, 'v[ce]*p'))::BIGINT AS n_matches,
+       regexp_extract(seq, 'v[ce]*p') AS first_match,
+       length(seq)::BIGINT AS seq_len
+FROM s
 """
 
 

@@ -127,6 +127,31 @@ def test_error_contracts(spark):
         )
 
 
+def test_episode_split_isolates_matches(spark):
+    from exposure_notifications_private_analytics_ingestion_spark.operators.cep import (
+        episode_pattern_match,
+    )
+
+    # v c | (31-min gap) | p : whole-history matching would see vcp; the
+    # episode matcher must split at the gap and match NOTHING
+    rows = [(1, 1, 1, "view"), (1, 2, 2, "click")]
+    df = _events(spark, rows).union(
+        spark.createDataFrame(
+            [(1, 3, datetime(2024, 1, 1, 0, 31, 2, tzinfo=timezone.utc), "purchase")],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        )
+    )
+    out = episode_pattern_match(
+        df, "user_id", F.expr("unix_micros(ts) div 1000"), F.col("event_id"),
+        "event_type", SYMBOLS, "vc*p", gap_s=1800,
+    ).orderBy("episode_start_ms").collect()
+    assert len(out) == 2
+    assert [r["seq_len"] for r in out] == [2, 1]
+    assert all(r["n_matches"] == 0 for r in out)
+    # sanity: whole-history matching DOES see it (ignores the gap)
+    assert _match(df).collect()[0]["n_matches"] == 1
+
+
 def test_no_python_in_plan(spark):
     plan = _match(_events(spark, [(1, 1, 1, "view")]))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
