@@ -116,6 +116,28 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--table", required=True)
     pm.add_argument("--target-file-mb", type=int, default=128)
 
+    pq = sub.add_parser("cep", help="streaming pattern detection: per-key "
+                        "session episodes matched against a regex over "
+                        "event-type symbols, one row per watermark-closed "
+                        "episode")
+    pq.add_argument("--input", required=True)
+    pq.add_argument("--output", required=True)
+    pq.add_argument("--checkpoint", required=True)
+    pq.add_argument("--key", default="conv_id")
+    pq.add_argument("--ts-col", default="ts")
+    pq.add_argument("--tiebreak", default="turn_idx")
+    pq.add_argument("--type-col", default="role")
+    pq.add_argument("--symbols", required=True,
+                    help="JSON object mapping event-type values to single "
+                         "chars, e.g. '{\"user\":\"u\",\"assistant\":\"a\"}'")
+    pq.add_argument("--pattern", required=True,
+                    help="regex over the symbol chars (portable subset: "
+                         "literals, classes, * + ? |)")
+    pq.add_argument("--gap", type=int, default=1800,
+                    help="session gap seconds splitting episodes")
+    pq.add_argument("--watermark", default="30 minutes")
+    pq.add_argument("--continuous", action="store_true")
+
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"enpa-{args.cmd}")
     now = int(time.time())
@@ -205,6 +227,25 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "cep":
+        from .streaming import start_pattern_stream
+
+        q = start_pattern_stream(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            key=args.key,
+            ts_col=args.ts_col,
+            tiebreak=args.tiebreak,
+            type_col=args.type_col,
+            symbols=json.loads(args.symbols),
+            pattern=args.pattern,
+            gap_s=args.gap,
+            watermark=args.watermark,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
     return 0
 
 

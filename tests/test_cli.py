@@ -156,3 +156,20 @@ def test_cli_profile(spark, turns_path, tmp_path):
     prof = spark.read.parquet(out)
     assert prof.count() > 0
     assert {"window_start", "role", "hll", "distinct_convs"} <= set(prof.columns)
+
+
+def test_cli_cep(spark, turns_path, tmp_path):
+    """cep runs streaming pattern detection over the turn stream: per-conv
+    episodes matched for a user-turn→tool-run→assistant-reply shape."""
+    table, _n = turns_path
+    out, ck = str(tmp_path / "cep"), str(tmp_path / "cck")
+    rc = cli.main(
+        ["cep", "--input", table, "--output", out, "--checkpoint", ck,
+         "--symbols", '{"user":"u","assistant":"a","tool":"t","system":"s"}',
+         "--pattern", "ut*a", "--gap", "1800", "--watermark", "10 minutes"]
+    )
+    assert rc == 0
+    eps = spark.read.parquet(out)
+    assert eps.count() > 0
+    assert {"key", "episode_start_ms", "n_matches", "first_match"} <= set(eps.columns)
+    assert eps.filter("n_matches > 0").count() > 0
