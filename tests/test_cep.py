@@ -155,3 +155,24 @@ def test_episode_split_isolates_matches(spark):
 def test_no_python_in_plan(spark):
     plan = _match(_events(spark, [(1, 1, 1, "view")]))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_plan_shapes_single_exchange(spark):
+    """Whole-history: one agg exchange, no Sort/Window node (the ordering is
+    expression-level array_sort). Episode-scoped: the per-(key, episode)
+    aggregation reuses the window's HashPartitioning(key) — ONE exchange for
+    the whole operator."""
+    from exposure_notifications_private_analytics_ingestion_spark.operators.cep import (
+        episode_pattern_match,
+    )
+
+    df = _events(spark, [(1, 1, 1, "view"), (1, 2, 2, "purchase")])
+    whole = _match(df)._jdf.queryExecution().executedPlan().toString()
+    assert whole.count("Exchange") == 1
+    assert "Sort " not in whole and "Window" not in whole
+    ep = episode_pattern_match(
+        df, "user_id", F.expr("unix_micros(ts) div 1000"), F.col("event_id"),
+        "event_type", SYMBOLS, "vp", gap_s=1800,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert ep.count("Exchange") == 1
+    assert "EvalPython" not in ep
