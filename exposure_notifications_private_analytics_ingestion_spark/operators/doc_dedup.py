@@ -40,8 +40,15 @@ def shingles_df(
     df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct word n-gram shingles per document (docs shorter than n words
-    are dropped — they carry no n-shingle)."""
-    w = words_col(text)
+    are dropped — they carry no n-shingle).
+
+    The word array is MATERIALIZED once per row before the window transform:
+    codegen does not common-subexpression-eliminate across a filter + a
+    lambda body, so referencing ``split(text)`` inline would re-split the
+    full document n+2 times per row (the same re-evaluation fixed in
+    ``fingerprint`` — ~10× at sf0.1). Feeds every shingle consumer: MinHash/
+    LSH, Jaccard verify, contamination, the incremental corpus index."""
+    w = F.col("_sh_ws")
     sh = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(
@@ -49,7 +56,8 @@ def shingles_df(
         ),
     )
     return (
-        df.filter(F.size(w) >= n)
+        df.select(F.col(id_col), words_col(text).alias("_sh_ws"))
+        .filter(F.size(w) >= n)
         .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
