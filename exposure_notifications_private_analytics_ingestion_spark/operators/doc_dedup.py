@@ -287,9 +287,14 @@ def span_dedup(
     row map-side, and the join-back probe side is AQE-skew-splittable.
     (The reference engine has no corpus operators; this extends the dedup
     suite the same way minhash/simhash do.)"""
-    ws = F.split(F.col(text), " ")
+    # materialize the split once per row: referencing it inside the
+    # per-position slice lambda would re-split the document per SPAN (the
+    # position-dependent index defeats CSE — same fix as shingles_df)
+    ws = F.col("_sp_ws")
     n_spans = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
     chunks = df.select(
+        F.col(id_col), F.split(F.col(text), " ").alias("_sp_ws")
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.transform(

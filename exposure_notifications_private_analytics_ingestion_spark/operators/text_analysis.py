@@ -46,8 +46,11 @@ def token_count(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 
 def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / mean-word-length / stopword-ratio quality gates (the standard
-    C4/Gopher-style heuristics, re-expressed as one codegen'd projection)."""
-    w = words_col(text)
+    C4/Gopher-style heuristics, re-expressed as one codegen'd projection).
+    The word array is materialized once per row — the score expressions
+    reference it ~7 times and inlining would re-split per reference."""
+    df = df.select(F.col(id_col), F.col(text), words_col(text).alias("_qs_ws"))
+    w = F.col("_qs_ws")
     n_tok = F.size(w)
     mean_wl = F.round(
         (F.length(text) - (n_tok - 1)) / n_tok, 6
@@ -68,13 +71,14 @@ def quality_score(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
 
 def lang_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-hit-ratio language ID; deterministic argmax (score desc,
-    lang asc)."""
-    w = words_col(text)
+    lang asc). One split per row (materialized), 2·n_langs references."""
+    base = df.select(F.col(id_col), words_col(text).alias("_li_ws"))
+    w = F.col("_li_ws")
     scores = [
         F.round(_hit_count(w, v) / F.size(w), 6).alias(f"score_{k}")
         for k, v in sorted(STOPWORDS.items())
     ]
-    scored = df.select(F.col(id_col), *scores)
+    scored = base.select(F.col(id_col), *scores)
     langs = sorted(STOPWORDS)
     # tiebreak: score desc, lang asc — greatest() then first lang reaching it
     best_score = F.greatest(*[F.col(f"score_{k}") for k in langs])
@@ -231,8 +235,10 @@ def corpus_stats_by_lang(
 ) -> DataFrame:
     """Per-language corpus rollup (doc count, token mass, quality pass count)
     — lang-ID + quality heuristics composed into ONE narrow projection (no
-    join: both derive from the same row) followed by one hash-agg."""
-    w = words_col(text)
+    join: both derive from the same row) followed by one hash-agg. The word
+    array is materialized once per row (many score references)."""
+    df = df.select(F.col(text), words_col(text).alias("_cs_ws"))
+    w = F.col("_cs_ws")
     n_tok = F.size(w)
     mean_wl = F.round((F.length(text) - (n_tok - 1)) / n_tok, 6)
     langs = sorted(STOPWORDS)
