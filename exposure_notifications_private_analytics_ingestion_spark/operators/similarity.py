@@ -37,11 +37,16 @@ def _qdot(a: Column, b: Column) -> Column:
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, extra: list[str]) -> DataFrame:
-    q = quantize(F.col(vec_col))
-    return df.select(
+    # quantize once per row: inlining it into the self-dot's zip_with would
+    # evaluate the transform 3x per row (alias + both zip_with operands)
+    base = df.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qv"),
+        *[F.col(c) for c in extra],
+    )
+    return base.select(
         F.col(id_col),
-        q.alias("qv"),
-        _qdot(q, q).alias("qn"),
+        F.col("qv"),
+        _qdot(F.col("qv"), F.col("qv")).alias("qn"),
         *[F.col(c) for c in extra],
     )
 
