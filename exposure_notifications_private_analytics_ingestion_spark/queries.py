@@ -2024,6 +2024,7 @@ def extended_registry() -> dict[str, tuple]:
         "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
         "cep_pattern_match": (q_cep_pattern_match, SQL_CEP_PATTERN_MATCH),
         "episode_cep_match": (q_episode_cep_match, SQL_EPISODE_CEP_MATCH),
+        "heavy_hitters_hourly": (q_heavy_hitters_hourly, SQL_HEAVY_HITTERS_HOURLY),
     }
 
 
@@ -2177,6 +2178,35 @@ SELECT user_id, episode_start_ms, episode_end_ms,
        regexp_extract(seq, 'v[ce]*p') AS first_match,
        length(seq)::BIGINT AS seq_len
 FROM s
+"""
+
+
+def q_heavy_hitters_hourly(spark, sf_dir):
+    """Per-hour top-3 event types via the space-saving sketch
+    (operators/heavy_hitters.py). Five distinct types << the 1024-item
+    tracking capacity, so the sketch counts are EXACT here and a DuckDB
+    exact-count oracle certifies them; the deterministic (cnt desc, item
+    asc) re-rank makes boundary ties engine-independent."""
+    from .operators.heavy_hitters import windowed_heavy_hitters
+
+    ev = _read(spark, sf_dir, "events")
+    return windowed_heavy_hitters(ev, "ts", "event_type", window_s=3600, k=3)
+
+
+SQL_HEAVY_HITTERS_HOURLY = """
+WITH c AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 1000 AS window_start_ms,
+         event_type AS item, count(*) AS cnt
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start_ms
+                               ORDER BY cnt DESC, item ASC) AS rank
+  FROM c
+)
+SELECT window_start_ms, item, cnt, rank::INT AS rank FROM r WHERE rank <= 3
 """
 
 
