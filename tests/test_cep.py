@@ -157,6 +157,82 @@ def test_no_python_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_randomized_against_python_reference(spark):
+    """One large seeded-random input (300 keys, duplicate timestamps,
+    unmapped types, nulls) through BOTH CEP forms, compared row-for-row
+    against an independent pure-Python implementation — one Spark job,
+    hundreds of adversarial keys."""
+    import random
+    import re as _re
+    from collections import defaultdict
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.cep import (
+        episode_pattern_match,
+    )
+
+    rnd = random.Random(42)
+    GAP_MS = 120_000
+    types = list(SYMBOLS) + ["refund", "login"]
+    rows = []
+    eid = 0
+    for k in range(300):
+        t_ms = rnd.randrange(0, 10_000) * 1000
+        for _ in range(rnd.randrange(1, 25)):
+            eid += 1
+            # duplicate timestamps on purpose (tie-break via event_id)
+            if rnd.random() < 0.15 and rows and rows[-1][0] == k:
+                t = rows[-1][2]
+            else:
+                t_ms += rnd.choice([500, 1000, 30_000, GAP_MS + 1000])
+                t = t_ms
+            rows.append((k, eid, t, rnd.choice(types)))
+    df = spark.createDataFrame(
+        [
+            (k, e, datetime.fromtimestamp(t / 1000, tz=timezone.utc), ty)
+            for k, e, t, ty in rows
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+
+    PAT = "v[ce]*p"
+    rx = _re.compile(PAT)
+    byk = defaultdict(list)
+    for k, e, t, ty in rows:
+        byk[k].append((t, e, SYMBOLS.get(ty, "_")))
+    ref_ep, ref_whole = [], []
+    for k, rs in byk.items():
+        rs.sort()
+        s_all = "".join(x[2] for x in rs)
+        m_all = list(rx.finditer(s_all))
+        ref_whole.append(
+            (k, len(m_all), m_all[0].group(0) if m_all else "", len(s_all))
+        )
+        eps = []
+        for r in rs:
+            if eps and r[0] - eps[-1][-1][0] <= GAP_MS:
+                eps[-1].append(r)
+            else:
+                eps.append([r])
+        for ep in eps:
+            s = "".join(x[2] for x in ep)
+            m = list(rx.finditer(s))
+            ref_ep.append(
+                (k, ep[0][0], ep[-1][0], len(m), m[0].group(0) if m else "", len(s))
+            )
+
+    got_ep = sorted(
+        tuple(r)
+        for r in episode_pattern_match(
+            df, "user_id", F.expr("unix_micros(ts) div 1000"), F.col("event_id"),
+            "event_type", SYMBOLS, PAT, gap_s=GAP_MS // 1000,
+        ).collect()
+    )
+    assert got_ep == sorted(ref_ep)
+
+    got_whole = sorted(tuple(r) for r in _match(df, PAT).collect())
+    assert got_whole == sorted(ref_whole)
+
+
 def test_plan_shapes_single_exchange(spark):
     """Whole-history: one agg exchange, no Sort/Window node (the ordering is
     expression-level array_sort). Episode-scoped: the per-(key, episode)
