@@ -2025,6 +2025,8 @@ def extended_registry() -> dict[str, tuple]:
         "cep_pattern_match": (q_cep_pattern_match, SQL_CEP_PATTERN_MATCH),
         "episode_cep_match": (q_episode_cep_match, SQL_EPISODE_CEP_MATCH),
         "heavy_hitters_hourly": (q_heavy_hitters_hourly, SQL_HEAVY_HITTERS_HOURLY),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+        "window_anomaly": (q_window_anomaly, SQL_WINDOW_ANOMALY),
     }
 
 
@@ -2207,6 +2209,96 @@ r AS (
   FROM c
 )
 SELECT window_start_ms, item, cnt, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted by
+    day offset of later activity — the standard product-analytics rollup.
+    Two hash-aggs + one equi-join (the cohort table is per-user, broadcast
+    at small SF, shuffled-hash at scale); no window over a user's full
+    history, so cost is O(events) with map-side partials."""
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count("*").cast("long").alias("n_active_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT cohort_day, (day - cohort_day) AS offset_days,
+       count(*)::BIGINT AS n_active_users
+FROM days JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_window_anomaly(spark, sf_dir):
+    """Windowed anomaly scores: hourly event-type counts z-scored against
+    each type's TRAILING 24 windows (rows between 24 preceding and 1
+    preceding — strictly causal, usable as a streaming alert's batch twin).
+    One exchange on event_type; the frame is bounded so state per key is 24
+    rows regardless of history length. Windows with undefined baseline
+    (fewer than 2 trailing rows, or zero variance) report NULL z."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    hourly = hourly.select(
+        F.expr("unix_micros(w.start) div 1000").alias("window_start_ms"),
+        "event_type",
+        "n",
+    )
+    base = Window.partitionBy("event_type").orderBy("window_start_ms").rowsBetween(
+        -24, -1
+    )
+    mean, sd = F.avg(F.col("n")).over(base), F.stddev_samp(F.col("n")).over(base)
+    z = F.when(sd > 0, F.round((F.col("n") - mean) / sd, 6))
+    return hourly.select(
+        "window_start_ms",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        z.alias("zscore"),
+    )
+
+
+SQL_WINDOW_ANOMALY = """
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) // 1000 AS window_start_ms,
+         event_type, count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT *,
+         avg(n) OVER w AS m,
+         stddev_samp(n) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start_ms
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT window_start_ms, event_type, n::BIGINT AS n,
+       CASE WHEN sd > 0 THEN round((n - m) / sd, 6) END AS zscore
+FROM scored
 """
 
 
