@@ -116,6 +116,21 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--table", required=True)
     pm.add_argument("--target-file-mb", type=int, default=128)
 
+    pu = sub.add_parser("upsert", help="streaming CDC upsert: a correction "
+                        "stream lands as keyed MERGE updates on a table")
+    pu.add_argument("--input", required=True)
+    pu.add_argument("--warehouse", required=True,
+                    help="table warehouse root (TableProvider)")
+    pu.add_argument("--table", required=True)
+    pu.add_argument("--keys", required=True,
+                    help="comma-separated key columns, e.g. conv_id,turn_idx")
+    pu.add_argument("--seq-col", required=True,
+                    help="version column; greatest wins within an epoch")
+    pu.add_argument("--checkpoint", required=True)
+    pu.add_argument("--partition-col", default=None,
+                    help="hive partition column for scoped copy-on-write")
+    pu.add_argument("--continuous", action="store_true")
+
     pq = sub.add_parser("cep", help="streaming pattern detection: per-key "
                         "session episodes matched against a regex over "
                         "event-type symbols, one row per watermark-closed "
@@ -227,6 +242,22 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    elif args.cmd == "upsert":
+        from .plans.tables import TableProvider
+        from .streaming import start_cdc_upsert_stream
+
+        q = start_cdc_upsert_stream(
+            spark,
+            args.input,
+            TableProvider(spark, args.warehouse),
+            args.table,
+            keys=[k.strip() for k in args.keys.split(",") if k.strip()],
+            seq_col=args.seq_col,
+            checkpoint=args.checkpoint,
+            partition_col=args.partition_col,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination()
     elif args.cmd == "cep":
         from .streaming import start_pattern_stream
 

@@ -173,3 +173,30 @@ def test_cli_cep(spark, turns_path, tmp_path):
     assert eps.count() > 0
     assert {"key", "episode_start_ms", "n_matches", "first_match"} <= set(eps.columns)
     assert eps.filter("n_matches > 0").count() > 0
+
+
+def test_cli_upsert(spark, tmp_path):
+    """upsert merges a CDC parquet stream into a warehouse table."""
+    wh = str(tmp_path / "wh")
+    from exposure_notifications_private_analytics_ingestion_spark.plans.tables import (
+        TableProvider,
+    )
+
+    prov = TableProvider(spark, wh)
+    schema = "conv_id string, turn_idx int, text string, seq int"
+    prov.replace(spark.createDataFrame([("c1", 0, "orig", 0)], schema), "turns")
+    spark.createDataFrame(
+        [("c1", 0, "edited", 1), ("c2", 0, "new", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(tmp_path / "cdc"))
+
+    rc = cli.main(
+        ["upsert", "--input", str(tmp_path / "cdc"), "--warehouse", wh,
+         "--table", "turns", "--keys", "conv_id,turn_idx",
+         "--seq-col", "seq", "--checkpoint", str(tmp_path / "ck")]
+    )
+    assert rc == 0
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in prov.read("turns").collect()
+    }
+    assert got == {("c1", 0): "edited", ("c2", 0): "new"}
