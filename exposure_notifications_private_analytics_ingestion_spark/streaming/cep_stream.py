@@ -73,14 +73,21 @@ def _make_matcher(symbols: dict[str, str], pattern: str, gap_s: int,
         else:
             ms, tb, sym = [], [], []
 
-        for pdf in pdf_iter:
-            ms += (
-                pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64") // 1000
-            ).tolist()
-            tb += pdf["tb"].tolist()
-            sym += pdf["etype"].map(sym_map).fillna(other_symbol).tolist()
-
         wm = state.getCurrentWatermarkMs()
+        for pdf in pdf_iter:
+            new_ms = (
+                pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64") // 1000
+            )
+            # Spark does NOT filter late input for applyInPandasWithState
+            # (unlike aggregations): without this drop, a row older than the
+            # watermark could arrive AFTER its episode was emitted and spawn
+            # a spurious fragment episode. ts <= wm is the standard
+            # watermark-drop predicate, and it is exactly what makes the
+            # emitted split FINAL (see module docstring).
+            on_time = new_ms > wm
+            ms += new_ms[on_time].tolist()
+            tb += pdf["tb"].to_numpy()[on_time].tolist()
+            sym += pdf["etype"][on_time].map(sym_map).fillna(other_symbol).tolist()
         rows = sorted(zip(ms, tb, sym))  # same total order as the batch twin
 
         # gaps-and-islands split, identical to episode_pattern_match

@@ -121,6 +121,50 @@ def test_stream_episodes_equal_batch_twin(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_late_rows_beyond_watermark_cannot_reopen_closed_episodes(spark, tmp_path):
+    """A row arriving with a ts older than the watermark is dropped by the
+    watermark operator (standard streaming semantics): an episode already
+    emitted stays emitted exactly once and is not extended or duplicated."""
+    inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    t = lambda s: T0 + timedelta(seconds=s)
+    # epoch 1: a complete episode for u1 at t0..t0+60
+    f1 = [("u1", t(0), 1, "view"), ("u1", t(60), 2, "purchase")]
+    # epoch 2: far-future event pushes the watermark way past u1's episode
+    f2 = [("u2", t(100_000), 3, "view")]
+    # epoch 3: a LATE u1 click at t+30 — behind the watermark, must be dropped
+    f3 = [("u1", t(30), 4, "click")]
+    seen: set[str] = set()
+    now = time.time()
+    j = 0
+    for rows in (f1, f2, f3):  # one file per epoch, mtimes in write order
+        spark.createDataFrame(
+            rows, "user_id string, ts timestamp, event_id long, event_type string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+        for f in sorted(
+            {f for f in os.listdir(inp) if f.startswith("part-")} - seen
+        ):
+            os.utime(os.path.join(inp, f), (now + j, now + j))
+            seen.add(f)
+            j += 1
+
+    q = start_pattern_stream(
+        spark, inp, out, ck,
+        key="user_id", ts_col="ts", tiebreak="event_id", type_col="event_type",
+        symbols=SYMBOLS, pattern="vc*p", gap_s=GAP_S,
+        watermark="1 minute", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    rows = sorted(
+        (r["key"], r["episode_start_ms"], r["n_matches"], r["seq_len"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # exactly ONE u1 episode: 2 events (vp), matched once; the late click
+    # neither extended it (seq_len still 2) nor spawned a duplicate
+    u1 = [r for r in rows if r[0] == "u1"]
+    assert u1 == [("u1", int(T0.timestamp() * 1000), 1, 2)]
+
+
+@pytest.mark.slow
 def test_resume_emits_no_duplicates(spark, tmp_path):
     inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))
     pdf = _gen_events(n_users=20, n_events=300, seed=9)
