@@ -74,30 +74,14 @@ def main():
     # streaming path 2.4x while every synthetic probe stays green). The
     # verdict rides along in the output so a depressed streaming number is
     # readable as a window artifact, not an engine property.
-    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
-        TURNS_SCHEMA as _TS,
-    )
-    from exposure_notifications_private_analytics_ingestion_spark.sources import (
-        generate_turns as _gen,
-    )
-    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
-        StreamOptions as _SO,
-        start_stream_ingestion as _ssi,
+    from exposure_notifications_private_analytics_ingestion_spark.streaming.canary import (
+        canary_tps as _canary_tps,
+        classify as _classify,
     )
 
-    _cpdf = _gen(n_convs=15000, seed=7, hours=6, dup_frac=0.02)
-    spark.createDataFrame(_cpdf, schema=_TS).repartition(CPUS).write.mode(
-        "overwrite"
-    ).parquet(f"{tmp}/canary-t")
-    t0 = time.time()
-    _ssi(
-        spark, f"{tmp}/canary-t", f"{tmp}/canary-o", f"{tmp}/canary-c",
-        _SO(batch_size=5000, window_s=7200, watermark="1 hour", bucket_by=4096),
-    ).awaitTermination(600)
-    canary_tps = round(len(_cpdf) / (time.time() - t0), 1)
-    # healthy windows measure ~55k startup-inclusive at this size; degraded
-    # windows measured 9-21k (floor mirrors tools/stream_canary.py)
-    stream_window = "HEALTHY" if canary_tps >= 40000 else "DEGRADED"
+    _n, _rate = _canary_tps(spark, tmp, n_convs=15000, width=CPUS)
+    canary_tps = round(_rate, 1)
+    stream_window = _classify(_rate)
 
     # every driver-checked registry query, in registry (core-first) order
     for name, (fn, _sql) in q.registry().items():

@@ -29,10 +29,18 @@ from pyspark.sql import Window
 def _trigrams(df: DataFrame, id_col: str, text_col: str, out_id: str) -> DataFrame:
     """(out_id, tri) — DISTINCT lowercase char-trigrams per row; strings
     shorter than 3 chars carry no evidence and drop out."""
-    s = F.lower(F.col(text_col))
+    # materialize lower() under a named alias FIRST: referencing the raw
+    # lower(text) expression inside the position-indexed lambda would
+    # re-evaluate it once per trigram position per row (the index defeats
+    # Catalyst CSE — measured up to 10× on the shingle stage, see
+    # shingles_df's _sh_ws)
+    s = F.col("_fz_s")
     return (
         df.select(
-            F.col(id_col).alias(out_id),
+            F.col(id_col).alias(out_id), F.lower(F.col(text_col)).alias("_fz_s")
+        )
+        .select(
+            out_id,
             F.explode(
                 F.transform(
                     # sequence(1, 0) would run DESCENDING ([1, 0]); short

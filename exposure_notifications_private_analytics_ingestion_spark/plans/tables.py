@@ -33,6 +33,25 @@ from pyspark.sql import functions as F
 _ICEBERG_OK: dict[str, bool] = {}
 
 
+def _merge_sql(target: str, view: str, keys: list[str], seq_col: str | None) -> str:
+    """MERGE INTO text for the Iceberg path. With ``seq_col`` the matched
+    update is guarded by ``s.seq >= t.seq`` so a stale re-delivered row
+    (lower seq than the stored one) cannot revert newer data; ties go to
+    the source, keeping replay-of-identical-rows idempotent. Unit-testable
+    without an Iceberg runtime (the COW path mirrors these semantics)."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    matched = (
+        f"WHEN MATCHED AND s.{seq_col} >= t.{seq_col} THEN UPDATE SET * "
+        if seq_col
+        else "WHEN MATCHED THEN UPDATE SET * "
+    )
+    return (
+        f"MERGE INTO {target} t USING {view} s ON {on} "
+        f"{matched}"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def iceberg_jar() -> str | None:
     """Locate an iceberg-spark-runtime jar: explicit env var first, then the
     Spark distribution's jars directory. Returns None in this sandbox."""
@@ -127,7 +146,13 @@ class TableProvider:
         ``seq_col``: when the source itself carries several versions of one
         key (a CDC batch), the row with the greatest ``seq_col`` wins
         (ties broken lexicographically by the remaining columns,
-        deterministic).
+        deterministic). ``seq_col`` ALSO guards matched updates against
+        stale re-deliveries ACROSS batches: a target row whose stored seq
+        is strictly greater than the source's survives unchanged and the
+        stale source row is discarded (Iceberg: ``WHEN MATCHED AND s.seq
+        >= t.seq``). Source wins seq ties, so replaying an identical epoch
+        stays idempotent. Without ``seq_col``, matched rows are replaced
+        unconditionally (last-writer-wins).
 
         Iceberg: real ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET *``
         (merge-on-read / copy-on-write per table properties). Parquet
@@ -143,6 +168,8 @@ class TableProvider:
         (``partition_col=None``) or real Iceberg MERGE. If the target is not
         yet hive-partitioned by ``partition_col``, the first upsert rewrites
         it into that layout (full COW once, scoped thereafter)."""
+        if seq_col and "_src_seq" in df.columns:
+            raise ValueError("merge_upsert reserves column name '_src_seq'")
         if seq_col:
             others = [c for c in df.columns if c not in keys]
             # max(struct(seq, ...)) — one map-side-partial hash-agg; seq
@@ -162,12 +189,7 @@ class TableProvider:
         if self.is_iceberg:
             view = f"_merge_src_{name}"
             df.createOrReplaceTempView(view)
-            on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-            self.spark.sql(
-                f"MERGE INTO {self._ident(name)} t USING {view} s ON {on} "
-                "WHEN MATCHED THEN UPDATE SET * "
-                "WHEN NOT MATCHED THEN INSERT *"
-            )
+            self.spark.sql(_merge_sql(self._ident(name), view, keys, seq_col))
             return
         target = self.read(name)
         # COW rewrites the affected rows from (kept ∪ source): a column-set
@@ -184,6 +206,28 @@ class TableProvider:
             )
         target = target.select(*df.columns)
         src_keys = df.select(*keys).distinct()
+
+        def _split(affected: DataFrame) -> tuple[DataFrame, DataFrame]:
+            """(target rows to keep, source rows to apply). Without seq_col
+            every matched target row is replaced; with it, a target row
+            whose seq beats the source's survives and the stale source row
+            is dropped — the COW mirror of WHEN MATCHED AND s.seq >= t.seq.
+            Both joins broadcast the (small) micro-batch side, so the
+            affected partitions are scanned map-side with no shuffle."""
+            if not seq_col:
+                return affected.join(F.broadcast(src_keys), keys, "left_anti"), df
+            ann = affected.join(
+                F.broadcast(df.select(*keys, F.col(seq_col).alias("_src_seq"))),
+                keys,
+                "left",
+            )
+            kept = ann.filter(
+                F.col("_src_seq").isNull() | (F.col(seq_col) > F.col("_src_seq"))
+            ).drop("_src_seq")
+            # keys where the stored row out-versions the source: ≤ one row
+            # per source key, collected small enough to broadcast back
+            beaten = ann.filter(F.col(seq_col) > F.col("_src_seq")).select(*keys).distinct()
+            return kept, df.join(F.broadcast(beaten), keys, "left_anti")
         if partition_col:
             path = self._ident(name)
             jvm = self.spark.sparkContext._jvm
@@ -199,12 +243,12 @@ class TableProvider:
                 affected = target.filter(F.col(partition_col).isin(parts))
             else:  # first upsert converts the table into the scoped layout
                 affected = target
-            kept = affected.join(F.broadcast(src_keys), keys, "left_anti")
+            kept, df_eff = _split(affected)
             # localCheckpoint SEVERS lineage, not just materializes: a
             # cache()+count() still recomputes lost blocks from the source
             # files — which the overwrite below is truncating — silently
             # corrupting the table if an executor dies mid-write
-            merged = kept.unionByName(df).localCheckpoint(eager=True)
+            merged = kept.unionByName(df_eff).localCheckpoint(eager=True)
             if layout_ok:
                 from .compaction import _dynamic_overwrite
 
@@ -220,8 +264,8 @@ class TableProvider:
                     path
                 )
         else:
-            kept = target.join(F.broadcast(src_keys), keys, "left_anti")
-            merged = kept.unionByName(df).localCheckpoint(eager=True)
+            kept, df_eff = _split(target)
+            merged = kept.unionByName(df_eff).localCheckpoint(eager=True)
             merged.write.mode("overwrite").parquet(self._ident(name))
 
     def delete_where(self, name: str, predicate: str) -> None:

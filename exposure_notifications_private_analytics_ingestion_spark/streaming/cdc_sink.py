@@ -12,18 +12,21 @@ generalized to arbitrary keyed tables.
 Exactly-once story: Structured Streaming replays a failed epoch with the
 SAME rows, and upsert is idempotent under replay-of-identical-rows (a key
 re-merged with the same content is a no-op), so the sink is exactly-once
-without epoch bookkeeping. Cross-epoch ordering is Spark's: epoch N commits
-before N+1 starts, so later corrections supersede earlier ones. WITHIN one
-epoch several versions of a key may arrive together — ``seq_col`` is
-therefore required here (unlike the batch API): the greatest sequence wins
-deterministically; a non-CDC stream without a real version column can pass
-its event-time column.
+without epoch bookkeeping. Ordering is by ``seq_col``, NOT arrival: the
+merge only updates a matched row when the incoming seq is >= the stored
+one, so a stale re-delivered correction landing in a LATER epoch cannot
+revert newer data (file-source epochs are mtime-ordered, which real CDC
+feeds don't guarantee). WITHIN one epoch several versions of a key may
+arrive together — ``seq_col`` is therefore required here (unlike the batch
+API): the greatest sequence wins deterministically; a non-CDC stream
+without a real version column can pass its event-time column.
 
 Scale: each epoch's merge touches only the partitions the epoch's keys live
 in (``partition_col``), so a micro-batch updating 3 hot hours rewrites 3
 directories of a 10^5-partition table — bounded work per trigger regardless
 of table size. State is the TABLE, not the stream: no watermark or state
-store is needed, so arbitrarily late corrections still apply.
+store is needed, so arbitrarily late corrections still apply — provided
+they are newer (by ``seq_col``) than what the table already holds.
 """
 
 from __future__ import annotations

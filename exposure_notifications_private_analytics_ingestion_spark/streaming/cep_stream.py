@@ -159,10 +159,25 @@ def pattern_match_stream(
     ``events`` is a streaming DataFrame; ``ts_col`` must be a timestamp
     column (it carries the watermark). Null key/ts/tiebreak/type rows are
     dropped, mirroring the batch twin.
+
+    ``tiebreak`` must be an INTEGRAL column: per-key state buffers it as
+    ``array<long>``. A lossy cast (string/float → long) would turn values
+    null AFTER the null filter, corrupting tie order inside the state
+    function where the batch twin (which orders any orderable type) would
+    still be fine — so non-integral types are rejected at plan time.
     """
     for ch in list(symbols.values()) + [other_symbol]:
         if len(ch) != 1:
             raise ValueError(f"symbols must be single chars, got {ch!r}")
+    dtypes = dict(events.dtypes)
+    if tiebreak not in dtypes:
+        raise ValueError(f"tiebreak column {tiebreak!r} not in {sorted(dtypes)}")
+    if dtypes[tiebreak] not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            f"tiebreak must be an integral column, got {tiebreak!r}: "
+            f"{dtypes[tiebreak]} (state buffers it as array<long>; a lossy "
+            "cast would silently break tie order vs the batch twin)"
+        )
     sel = (
         events.filter(
             F.col(key).isNotNull()

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.heavy_hitters import rank_hitters, topk_sketch_agg
+from ..plans.compaction import _dynamic_overwrite
 
 __all__ = ["start_heavy_hitters_stream"]
 
@@ -68,15 +69,26 @@ def start_heavy_hitters_stream(
     )
 
     def _finalize(batch_df, epoch_id):
-        if batch_df.isEmpty():
-            return
-        ranked = rank_hitters(batch_df, ["window_start_ms"], k).withColumn(
-            "epoch", F.lit(int(epoch_id))
-        )
-        ranked.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        ranked.write.mode("overwrite").partitionBy("epoch").parquet(output_path)
+        # NOTE: no isEmpty() pre-check — every action on a foreachBatch frame
+        # re-executes the stateful microbatch plan, so an emptiness probe
+        # would run the windowed sketch agg once just to answer a boolean
+        # (~2× epoch cost, same trap streaming/sink.py documents). Persist
+        # the (tiny: ≤ closed windows) emitted rows and count the cache.
+        cached = batch_df.persist()
+        try:
+            if cached.count() == 0:
+                return
+            ranked = rank_hitters(cached, ["window_start_ms"], k).withColumn(
+                "epoch", F.lit(int(epoch_id))
+            )
+            # scoped: leaking dynamic mode onto the shared session would turn
+            # later static full-table overwrites into partial ones
+            with _dynamic_overwrite(cached.sparkSession):
+                ranked.write.mode("overwrite").partitionBy("epoch").parquet(
+                    output_path
+                )
+        finally:
+            cached.unpersist()
 
     writer = (
         sketched.writeStream.foreachBatch(_finalize)

@@ -114,6 +114,19 @@ def test_within_epoch_seq_resolves_duplicate_keys(spark, dirs):
     assert tbl == {("c1", 0): ("v3", 3)}
 
 
+def test_stale_redelivery_in_later_epoch_does_not_revert(spark, dirs):
+    """A re-delivered OLD correction arriving in a later epoch (out-of-order
+    CDC feed) must not overwrite the newer stored version: the merge is
+    seq-guarded, not arrival-ordered."""
+    provider = TableProvider(spark, f"{dirs}/wh")
+    provider.replace(spark.createDataFrame([("c1", 0, "orig", 0)], SCHEMA), "turns")
+    # epoch 1 applies seq=2; epoch 2 re-delivers the older seq=1 edit
+    _write_one_file(spark, [("c1", 0, "edit-b", 2)], f"{dirs}/cdc")
+    _write_one_file(spark, [("c1", 0, "edit-a", 1)], f"{dirs}/cdc")
+    _run(spark, dirs, provider)
+    assert _table(provider) == {("c1", 0): ("edit-b", 2)}
+
+
 def test_error_contracts(spark, dirs):
     provider = TableProvider(spark, f"{dirs}/wh")
     _write_one_file(spark, [("c1", 0, "x", 1)], f"{dirs}/cdc")

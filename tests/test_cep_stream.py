@@ -164,6 +164,31 @@ def test_late_rows_beyond_watermark_cannot_reopen_closed_episodes(spark, tmp_pat
     assert u1 == [("u1", int(T0.timestamp() * 1000), 1, 2)]
 
 
+def test_non_integral_tiebreak_rejected_at_plan_time(spark):
+    """State buffers the tiebreak as array<long>; a string column would cast
+    to null/NaN only INSIDE the state function (past the null filter), so
+    the plan must refuse it up front. Validation runs before any streaming
+    construct, so a batch frame exercises it."""
+    from exposure_notifications_private_analytics_ingestion_spark.streaming.cep_stream import (
+        pattern_match_stream,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", T0, "e-0012", "view")],
+        "user_id string, ts timestamp, msg_id string, event_type string",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        pattern_match_stream(
+            df, key="user_id", ts_col="ts", tiebreak="msg_id",
+            type_col="event_type", symbols=SYMBOLS, pattern="vp",
+        )
+    with pytest.raises(ValueError, match="not in"):
+        pattern_match_stream(
+            df, key="user_id", ts_col="ts", tiebreak="nope",
+            type_col="event_type", symbols=SYMBOLS, pattern="vp",
+        )
+
+
 @pytest.mark.slow
 def test_resume_emits_no_duplicates(spark, tmp_path):
     inp, out, ck = (str(tmp_path / d) for d in ("in", "out", "ck"))

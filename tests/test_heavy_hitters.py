@@ -89,11 +89,18 @@ def test_stream_equals_batch_twin(spark, tmp_path):
             os.utime(os.path.join(inp, f), (now + j, now + j))
             j += 1
 
+    mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     q = start_heavy_hitters_stream(
         spark, inp, out, ck, ts_col="ts", item_col="item",
         window_s=3600, k=3, watermark="10 minutes", max_files_per_trigger=1,
     )
     q.awaitTermination(300)
+    # the epoch sink's dynamic overwrite must be SCOPED: leaking it would
+    # turn later full-table overwrites on this shared session into partial ones
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == mode_before
+    )
 
     emitted = spark.read.parquet(out)
     assert emitted.count() > 0

@@ -25,7 +25,6 @@ import argparse
 import shutil
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -38,40 +37,21 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=32)
     a = ap.parse_args()
 
-    from exposure_notifications_private_analytics_ingestion_spark.model.schema import (
-        TURNS_SCHEMA,
-    )
     from exposure_notifications_private_analytics_ingestion_spark.session import get_spark
-    from exposure_notifications_private_analytics_ingestion_spark.sources import (
-        generate_turns,
-    )
-    from exposure_notifications_private_analytics_ingestion_spark.streaming import (
-        StreamOptions,
-        start_stream_ingestion,
+    from exposure_notifications_private_analytics_ingestion_spark.streaming.canary import (
+        canary_tps,
+        classify,
     )
 
     spark = get_spark(app_name="stream-canary", cores=a.cores,
                       shuffle_partitions=a.cores)
     tmp = tempfile.mkdtemp(prefix="stream-canary-")
     try:
-        pdf = generate_turns(n_convs=a.convs, seed=7, hours=6, dup_frac=0.02)
-        n = len(pdf)
-        spark.createDataFrame(pdf, schema=TURNS_SCHEMA).repartition(
-            a.cores
-        ).write.mode("overwrite").parquet(f"{tmp}/t")
-        t0 = time.time()
-        q = start_stream_ingestion(
-            spark,
-            f"{tmp}/t",
-            f"{tmp}/o",
-            f"{tmp}/c",
-            StreamOptions(batch_size=5000, window_s=7200, watermark="1 hour",
-                          bucket_by=4096),
+        n, rate = canary_tps(spark, tmp, n_convs=a.convs, width=a.cores)
+        dt = n / rate  # the measured stream wall (input generation excluded)
+        verdict = (
+            "HEALTHY" if classify(rate, a.floor) == "HEALTHY" else "STREAM_DEGRADED"
         )
-        q.awaitTermination(600)
-        dt = time.time() - t0
-        rate = n / dt
-        verdict = "HEALTHY" if rate >= a.floor else "STREAM_DEGRADED"
         print(
             f'STREAM_CANARY {{"n_turns": {n}, "wall_s": {dt:.1f}, '
             f'"turns_per_sec": {rate:.0f}, "floor": {a.floor:.0f}, '
