@@ -5,15 +5,23 @@ matching, catalog reconciliation).
 
 Plan shape (never all-pairs — the same discipline as the dedup suite):
 distinct char-trigrams per side (narrow projection + hash-agg) → candidate
-pairs via a TRIGRAM-keyed equi-join (only pairs sharing ≥1 trigram are ever
-materialized; the join key carries the selectivity, and AQE skew-splits hot
-trigrams) → shared-count hash-agg → Jaccard from the two distinct-set sizes
-→ per-left best match by ``row_number`` (ties → lowest right id).
+pairs via a TRIGRAM-keyed equi-join → exact Jaccard → per-left best match
+by ``row_number`` (ties → lowest right id).
 
-At web scale a stop-trigram cap belongs in front (drop trigrams whose
-document frequency exceeds a threshold — ``ngram_doc_frequency`` computes
-exactly that), the same way MinHash banding bounds ``minhash_lsh_pairs``;
-the candidate join is otherwise identical.
+The default path adds AllPairs/PPJoin-style PREFIX FILTERING (Chaudhuri et
+al. 2006; Xiao et al. 2008), which is what makes the candidate join safe
+at corpus scale WITHOUT changing results: order trigrams globally by
+(document frequency asc, trigram asc); a record with n trigrams exposes
+only its first ``n - ceil(t*n) + 1`` rarest trigrams to the join. Any pair
+with Jaccard >= t provably shares its intersection's globally-smallest
+element inside BOTH prefixes (overlap >= ceil(t*n) on each side via the
+length filter, so the intersection cannot hide in a ceil(t*n)-1 suffix) —
+zero false negatives. Hot boilerplate trigrams have maximal df, land in
+suffixes, and generate NO candidate pairs; survivors are verified exactly
+via ``array_intersect`` on the full per-record trigram arrays plus the
+symmetric length filter ``t*n_l <= n_r && t*n_r <= n_l``. The naive
+trigram-keyed join remains available (``prefix_filter=False``) as the
+oracle-parity baseline; equality of the two paths is pinned in tests.
 
 No reference analog (the reference joins nothing); extends the similarity
 suite to two-table string matching.
@@ -56,6 +64,69 @@ def _trigrams(df: DataFrame, id_col: str, text_col: str, out_id: str) -> DataFra
     )
 
 
+def _prefix_scored(lt: DataFrame, rt: DataFrame, threshold: float) -> DataFrame:
+    """(l_id, r_id, n_l, n_r, n_shared) for candidate pairs surviving the
+    prefix filter + symmetric length filter; exact counts, no false
+    negatives for Jaccard >= threshold (see module docstring)."""
+    # global total order: (df asc, tri asc). One hash-agg over both sides;
+    # the struct sorts lexicographically so rare trigrams lead.
+    freq = (
+        lt.select("tri")
+        .unionAll(rt.select("tri"))
+        .groupBy("tri")
+        .agg(F.count("*").alias("_df"))
+    )
+
+    def packed(side: DataFrame, id_col: str) -> DataFrame:
+        # per-record trigram array sorted by global rarity + prefix slice;
+        # n - ceil(t*n) + 1 rarest trigrams participate in the join
+        arr = (
+            side.join(freq, "tri")
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_df", "tri"))),
+                    lambda s: s["tri"],
+                ).alias("arr")
+            )
+            .withColumn("n", F.size("arr"))
+        )
+        p = arr.n - F.ceil(F.lit(threshold) * arr.n).cast("int") + 1
+        return arr.withColumn("pfx", F.slice("arr", 1, p))
+
+    lp = packed(lt, "l_id")
+    rp = packed(rt, "r_id")
+    cands = (
+        lp.select("l_id", F.explode("pfx").alias("tri"))
+        .join(rp.select("r_id", F.explode("pfx").alias("tri")), "tri")
+        .select("l_id", "r_id")
+        .distinct()
+    )
+    t = F.lit(threshold)
+    return (
+        cands.join(lp.select("l_id", F.col("arr").alias("_la"), F.col("n").alias("n_l")), "l_id")
+        .join(rp.select("r_id", F.col("arr").alias("_ra"), F.col("n").alias("n_r")), "r_id")
+        .filter((t * F.col("n_l") <= F.col("n_r")) & (t * F.col("n_r") <= F.col("n_l")))
+        .withColumn("n_shared", F.size(F.array_intersect("_la", "_ra")))
+        .drop("_la", "_ra")
+    )
+
+
+def _naive_scored(lt: DataFrame, rt: DataFrame) -> DataFrame:
+    """Trigram-keyed join + shared-count hash-agg: every pair sharing >= 1
+    trigram is materialized. Exact; the oracle-parity baseline the prefix
+    path is verified against."""
+    l_sizes = lt.groupBy("l_id").agg(F.count("*").alias("n_l"))
+    r_sizes = rt.groupBy("r_id").agg(F.count("*").alias("n_r"))
+    return (
+        lt.join(rt, "tri")
+        .groupBy("l_id", "r_id")
+        .agg(F.count("*").alias("n_shared"))
+        .join(l_sizes, "l_id")
+        .join(r_sizes, "r_id")
+    )
+
+
 def fuzzy_match(
     left: DataFrame,
     right: DataFrame,
@@ -65,32 +136,28 @@ def fuzzy_match(
     right_text: str,
     threshold: float = 0.5,
     best_only: bool = True,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """(left_id, right_id, jaccard [, rank]) for pairs with trigram-set
     Jaccard ≥ ``threshold``; with ``best_only`` each left row keeps its
-    single best match (ties → lowest ``right_id``)."""
+    single best match (ties → lowest ``right_id``). ``prefix_filter``
+    selects the AllPairs prefix-filtered candidate path (identical results,
+    hot-trigram-proof); the naive trigram join is kept as the baseline."""
     lt = _trigrams(left, left_id, left_text, "l_id")
     rt = _trigrams(right, right_id, right_text, "r_id")
-    l_sizes = lt.groupBy("l_id").agg(F.count("*").alias("n_l"))
-    r_sizes = rt.groupBy("r_id").agg(F.count("*").alias("n_r"))
-    shared = (
-        lt.join(rt, "tri")
-        .groupBy("l_id", "r_id")
-        .agg(F.count("*").alias("n_shared"))
+    counted = (
+        _prefix_scored(lt, rt, threshold)
+        if prefix_filter and threshold > 0
+        else _naive_scored(lt, rt)
     )
-    scored = (
-        shared.join(l_sizes, "l_id")
-        .join(r_sizes, "r_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_shared")
-                / (F.col("n_l") + F.col("n_r") - F.col("n_shared")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    scored = counted.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_shared")
+            / (F.col("n_l") + F.col("n_r") - F.col("n_shared")),
+            6,
+        ),
+    ).filter(F.col("jaccard") >= threshold)
     out = scored.select(
         F.col("l_id").alias(left_id),
         F.col("r_id").alias("match_" + right_id),

@@ -281,6 +281,40 @@ def test_fuzzy_match_planted_near_duplicates(spark):
     assert out[1]["jaccard"] > 0.7
 
 
+def test_fuzzy_prefix_filter_equals_naive_join(spark):
+    """The AllPairs prefix-filtered path must return EXACTLY the naive
+    trigram-join path's rows (zero false negatives from the prefix cut,
+    zero extras from the length filter) on random-ish names with planted
+    near-duplicates and hot shared tokens, across thresholds."""
+    from exposure_notifications_private_analytics_ingestion_spark.operators.fuzzy_join import (
+        fuzzy_match,
+    )
+    import random
+
+    rnd = random.Random(11)
+    words = ["acme", "global", "widget", "supply", "quantum", "labs",
+             "united", "tool", "corp", "intl"]
+    mk = lambda: " ".join(rnd.choice(words) for _ in range(rnd.randint(2, 4)))
+    lrows = [(i, mk()) for i in range(80)]
+    # right side: perturbed copies of some left names + fresh noise
+    rrows = [(100 + i, t + ("s" if i % 3 == 0 else "")) for i, (_, t) in enumerate(lrows[:40])]
+    rrows += [(200 + i, mk()) for i in range(40)]
+    L = spark.createDataFrame(lrows, "id bigint, name string")
+    R = spark.createDataFrame(rrows, "id bigint, name string")
+    for thr in (0.3, 0.5, 0.8):
+        for best in (False, True):
+            fast = fuzzy_match(L, R, "id", "name", "id", "name",
+                               threshold=thr, best_only=best,
+                               prefix_filter=True)
+            base = fuzzy_match(L, R, "id", "name", "id", "name",
+                               threshold=thr, best_only=best,
+                               prefix_filter=False)
+            a = sorted(map(tuple, fast.collect()))
+            b = sorted(map(tuple, base.collect()))
+            assert a == b, (thr, best, a[:5], b[:5])
+            assert len(a) > 0  # the fixture actually exercises matches
+
+
 def test_sessionize_splits_on_gap(spark, tmp_path):
     """Planted timeline: events 10 min apart share a session; a 31-min gap
     opens a new one."""
