@@ -12,14 +12,24 @@ lookups into a precomputed centroid-dot-product table instead of d
 multiplies. Accuracy is recovered where it matters by exact re-ranking of
 the top-``rerank`` approximate hits — the standard IVF-PQ + re-rank recipe.
 
-Spark shape (everything JVM-side, no Python in the data path):
-- training: explode to (sub_idx, subvec) → broadcast-join the (m·ks)-row
-  centroid table → ``min_by`` assignment → per-(sub, code) elementwise mean
-  via one posexplode + two hash-aggs (the ``cluster_centroid_sums``
-  pattern). Deterministic end to end: integer input (``similarity.quantize``),
-  md5-hash-ordered seeding, integer-rounded means, fixed iterations — the
-  codebook is a pure function of the data, stable under repartitioning.
-- encoding: the same assignment join; codes are an ``array<int>`` column.
+Spark shape (everything JVM-side, no Python in the data path). The
+codebook is TINY by construction (m·ks = 128 rows) and lives driver-side
+between stages, so every per-row operation embeds it as a plan LITERAL —
+the same pattern as the scoring dot-product table — instead of joining:
+- assignment: argmin-over-ks squared-L2 against the literal per-subspace
+  centroid arrays, a pure codegen'd projection — no broadcast join, no
+  shuffle, no explode (ties → lowest code, matching ``min_by``).
+- training: per Lloyd round, assign (projection) → ONE hash-agg of
+  per-dimension ``avg`` columns per (sub_idx, code) with map-side partials
+  → collect the 128-row codebook for the next round's literal (the collect
+  doubles as the lineage cut — no ``localCheckpoint``). Deterministic end
+  to end: integer input (``similarity.quantize``), md5-hash-ordered
+  seeding, exact long sums behind each avg, integer-rounded means, fixed
+  iterations — the codebook is a pure function of the data, stable under
+  repartitioning.
+- encoding: one zero-shuffle projection — subvector slices → per-subspace
+  literal argmin → ``codes array<int>``. No join, no groupBy: at 10^9
+  vectors encode is embarrassingly parallel map work, as it should be.
 - scoring: the m·ks·ks centroid dot-product table (8·16·16 = 2048 longs
   here) is embedded as an array LITERAL in the plan — codegen'd
   ``element_at`` lookups, no join, no shuffle, no Python.
@@ -59,15 +69,34 @@ def _l2(a: Column, b: Column) -> Column:
     )
 
 
-def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Nearest codeword per (row, sub_idx): broadcast the (m·ks)-row
-    codebook, min_by over squared L2 (ties → lowest code, deterministic)."""
-    joined = sub.join(F.broadcast(codebook), "sub_idx")
-    d2 = _l2(F.col("sv"), F.col("centroid"))
-    return joined.groupBy(*[c for c in sub.columns if c != "sv"], "sv").agg(
-        F.min_by(F.col("code"), F.struct(d2.alias("d"), F.col("code").alias("c"))).alias(
-            "code"
-        )
+def _codebook_lits(rows: list, m: int) -> tuple[Column, Column]:
+    """The collected codebook as two plan literals indexed by sub_idx:
+    ``cent_lit[s]`` = the subspace's centroid arrays (codes ascending) and
+    ``codeid_lit[s]`` = the matching code ids. Codes ascending means
+    ``array_position`` of the min distance (FIRST occurrence) reproduces
+    ``min_by``'s ties → lowest-code rule. Subspaces that lost a code to an
+    empty Lloyd cluster simply list fewer entries — same semantics as the
+    join form, where a missing codebook row was never a candidate."""
+    per_sub: dict[int, list] = {s: [] for s in range(m)}
+    for r in rows:
+        per_sub[r["sub_idx"]].append((int(r["code"]), [int(v) for v in r["centroid"]]))
+    entries = [sorted(per_sub[s]) for s in range(m)]
+    # one nested-list F.lit per literal — a single Literal node each, not an
+    # m·ks·sub_d-node F.array tree that every analyzer pass has to walk
+    cent_lit = F.lit([[c for _, c in e] for e in entries]).cast(
+        "array<array<array<bigint>>>"
+    )
+    codeid_lit = F.lit([[code for code, _ in e] for e in entries])
+    return cent_lit, codeid_lit
+
+
+def _argmin_code(dists: Column, codeid_lit: Column, sub_ix: Column) -> Column:
+    """Code id of the nearest centroid given a per-candidate distance array
+    (ties → lowest code: candidates are code-ascending and array_position
+    returns the first match)."""
+    return F.element_at(
+        F.element_at(codeid_lit, sub_ix + 1),
+        F.array_position(dists, F.array_min(dists)).cast("int"),
     )
 
 
@@ -105,7 +134,7 @@ def pq_train(
     w = Window.partitionBy("sub_idx").orderBy(
         F.md5(F.concat_ws("|", F.col(id_col), F.col("sub_idx"))), F.col(id_col)
     )
-    codebook = (
+    rows = (
         sub.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= ks)
         .select(
@@ -113,25 +142,40 @@ def pq_train(
             (F.col("rn") - 1).cast("int").alias("code"),
             F.col("sv").alias("centroid"),
         )
-    )
+    ).collect()
+    sub_d = dims // m
     for _ in range(iters):
-        assigned = _assign(sub, codebook)
-        # elementwise integer mean per (sub_idx, code): posexplode dims →
-        # avg → rebuild ordered array (map-side partial aggs throughout)
-        codebook = (
-            assigned.select("sub_idx", "code", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("sub_idx", "code", "pos")
-            .agg(F.round(F.avg("v")).cast("long").alias("c"))
-            .groupBy("sub_idx", "code")
+        # assignment is a literal argmin projection (no join, no explode);
+        # the update is ONE hash-agg — per-dimension avg columns with exact
+        # long sums behind them, map-side partial throughout. Collecting the
+        # 128-row codebook each round both feeds the next literal and cuts
+        # the lineage (no localCheckpoint job).
+        cent_lit, codeid_lit = _codebook_lits(rows, m)
+        dists = F.transform(
+            F.element_at(cent_lit, F.col("sub_idx") + 1),
+            lambda cb: _l2(F.col("sv"), cb),
+        )
+        assigned = sub.withColumn("_dists", dists).withColumn(
+            "code", _argmin_code(F.col("_dists"), codeid_lit, F.col("sub_idx"))
+        )
+        rows = (
+            assigned.groupBy("sub_idx", "code")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda st: st["c"],
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at(F.col("sv"), j + 1)))
+                        .cast("long")
+                        .alias(f"_c{j}")
+                        for j in range(sub_d)
+                    ]
                 ).alias("centroid")
             )
-        )
-        codebook = codebook.localCheckpoint(eager=True)  # cut the lineage per round
-    return codebook
+        ).collect()
+    schema = "sub_idx INT, code INT, centroid ARRAY<BIGINT>"
+    return df.sparkSession.createDataFrame(
+        sorted([(r["sub_idx"], r["code"], list(r["centroid"])) for r in rows]),
+        schema,
+    )
 
 
 def pq_encode(
@@ -144,18 +188,39 @@ def pq_encode(
     extra: list[str] | None = None,
 ) -> DataFrame:
     """(id, qn, codes array<int>, *extra): the compressed representation —
-    m code ids replace the d-dim vector."""
+    m code ids replace the d-dim vector. One zero-shuffle projection:
+    subvector slices → literal argmin per subspace, all codegen'd.
+    ``codebook`` may be the trained DataFrame or its collected rows."""
+    rows = codebook.collect() if isinstance(codebook, DataFrame) else list(codebook)
+    cent_lit, codeid_lit = _codebook_lits(rows, m)
     prep = _prep(df, id_col, vec_col, extra or [])
-    sub = _subvectors(prep, m, dims)
-    assigned = _assign(sub, codebook)
-    return (
-        assigned.groupBy(id_col, "qn", *(extra or []))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
-                lambda st: st["code"],
-            ).alias("codes")
-        )
+    sub_d = dims // m
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.slice(F.col("qv"), i * sub_d + 1, sub_d),
+    )
+    # materialize the per-subspace distance arrays in a named projection so
+    # the argmin's two references (array_min + array_position) bind to one
+    # evaluation, not two (lambda CSE does not cross the alias boundary)
+    with_d = prep.select(
+        id_col,
+        "qn",
+        *(extra or []),
+        F.transform(
+            subvecs,
+            lambda sv, i: F.transform(
+                F.element_at(cent_lit, i.cast("int") + 1), lambda cb: _l2(sv, cb)
+            ),
+        ).alias("_dists"),
+    )
+    return with_d.select(
+        id_col,
+        "qn",
+        *(extra or []),
+        F.transform(
+            F.col("_dists"),
+            lambda ds, i: _argmin_code(ds, codeid_lit, i.cast("int")),
+        ).alias("codes"),
     )
 
 
@@ -214,10 +279,11 @@ def pq_topk(
     codebook = codebook if codebook is not None else pq_train(
         df, m=m, ks=ks, id_col=id_col, vec_col=vec_col, dims=dims
     )
-    table_lit = F.lit(_dot_table(codebook.collect(), m, ks))
+    cb_rows = codebook.collect()
+    table_lit = F.lit(_dot_table(cb_rows, m, ks))
 
     enc = pq_encode(
-        df, codebook, m=m, id_col=id_col, vec_col=vec_col, dims=dims,
+        df, cb_rows, m=m, id_col=id_col, vec_col=vec_col, dims=dims,
         extra=[cluster_col],
     )
     a, b = enc.alias("a"), enc.alias("b")
