@@ -18,9 +18,13 @@ files with real PCM ramp samples and ``decode_audio`` parses the fmt/data
 chunk chain (rate, channels, bits, frame count, duration). Video metadata is
 an ISO-BMFF (MP4) box walk: ``encode_mp4_header`` emits ftyp + moov(mvhd,
 trak(tkhd)) and ``decode_video`` recursively walks the box tree for
-timescale/duration/width/height. Only genuinely unknown formats fall back to
-a clearly-marked stub row (``ok=False``); pixel/sample-level decode of
-arbitrary real-world files would still need PIL/libvips/ffmpeg.
+timescale/duration/width/height. PNG goes all the way to PIXELS:
+``decode_png_pixels`` inflates and unfilters the scanlines (all five spec
+filters) and ``resize_png`` does real nearest-neighbor resampling + filter-0
+re-encode — so ``resize_images`` performs genuine pixel work, stdlib only.
+Only genuinely unknown formats fall back to a clearly-marked stub row
+(``ok=False``); pixel/sample-level decode of JPEG/video entropy streams would
+still need PIL/libvips/ffmpeg.
 
 Reference parity: the reference pipeline (Java/Beam, 1,852 LoC) has no media
 operators at all — this is driver-brief engine breadth, not parity.
@@ -579,3 +583,178 @@ def extract_features(df: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------ resize
+
+RESIZED_SCHEMA = (
+    "doc_id long, media binary, media_type string, width int, height int,"
+    " ok boolean"
+)
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> list[bytes]:
+    """Undo per-scanline PNG filters (spec §6.3: None/Sub/Up/Average/Paeth).
+    Filter-0 rows are a straight copy; the recursive filters run in plain
+    Python — correct for any conforming 8-bit stream, fast enough for the
+    batch sizes a mapInPandas task sees."""
+    stride = width * channels
+    bpp = channels
+    rows: list[bytes] = []
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        pos += 1
+        if ftype == 0:
+            cur_b = raw[pos : pos + stride]
+            pos += stride
+            rows.append(cur_b)
+            prev = cur_b
+            continue
+        cur = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        rows.append(bytes(cur))
+        prev = rows[-1]
+    return rows
+
+
+def decode_png_pixels(buf: bytes) -> tuple[int, int, int, list[bytes]]:
+    """(width, height, color_type, scanlines): FULL pixel decode of an 8-bit
+    non-interlaced grayscale/gray+alpha/RGB/RGBA PNG — chunk walk, zlib
+    inflate of the concatenated IDATs, per-scanline unfilter. Stdlib only.
+    Palette (color type 3) and sub-8-bit depths raise: resampling palette
+    indexes or packed pixels needs tables this kernel deliberately does not
+    fake."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    color_type = -1
+    idat: list[bytes] = []
+    while pos + 8 <= len(buf):
+        (clen,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        payload = buf[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if bit_depth != 8:
+                raise ValueError(f"PNG resize: bit depth {bit_depth} unsupported")
+            if interlace:
+                raise ValueError("PNG resize: Adam7 interlacing unsupported")
+            if color_type not in (0, 2, 4, 6):
+                raise ValueError(f"PNG resize: color type {color_type} unsupported")
+        elif ctype == b"IDAT":
+            idat.append(payload)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None or not idat:
+        raise ValueError("PNG: missing IHDR or IDAT")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != height * (1 + width * channels):
+        raise ValueError("PNG: inflated length does not match dimensions")
+    return width, height, color_type, _png_unfilter(raw, width, height, channels)
+
+
+def resize_png(buf: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor PNG resize, stdlib only: full pixel decode →
+    center-aligned sample (src index = ((2i+1)·S) // (2·D), the standard
+    half-pixel-offset NN map) → re-encode as filter-0 scanlines. Output is a
+    spec-valid PNG with the source's color type at (out_w, out_h)."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize_png: target dimensions must be positive")
+    w, h, color_type, rows = decode_png_pixels(buf)
+    ch = _PNG_CHANNELS[color_type]
+    xmap = [min(((2 * x + 1) * w) // (2 * out_w), w - 1) * ch for x in range(out_w)]
+    out = bytearray()
+    for y in range(out_h):
+        src = rows[min(((2 * y + 1) * h) // (2 * out_h), h - 1)]
+        out.append(0)  # filter type None
+        if ch == 1:
+            out.extend(bytes(map(src.__getitem__, xmap)))
+        else:
+            for sx in xmap:
+                out.extend(src[sx : sx + ch])
+    ihdr = struct.pack(">IIBBBBB", out_w, out_h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 64, out_h: int = 64, strict: bool = False
+) -> DataFrame:
+    """mapInPandas nearest-neighbor resize over a (doc_id, media, media_type)
+    frame: PNGs are re-encoded at (out_w, out_h) with REAL pixel resampling
+    (``resize_png``); header-only formats (the JPEG/GIF fixtures carry no
+    pixel data) and undecodable PNGs pass through unchanged with ``ok=False``
+    — or raise when ``strict``. Narrow projection, no shuffle: at 100 TB this
+    is embarrassingly parallel per-file CPU work, exactly what the Arrow
+    batch path is for."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media, ws, hs, oks = [], [], [], []
+            for b in pdf["media"]:
+                bb = bytes(b)
+                if bb[:8] == _PNG_SIG:
+                    try:
+                        media.append(resize_png(bb, out_w, out_h))
+                        ws.append(out_w)
+                        hs.append(out_h)
+                        oks.append(True)
+                        continue
+                    except ValueError:
+                        if strict:
+                            raise
+                elif strict:
+                    raise ValueError(
+                        f"resize: no pixel decoder for leading bytes {bb[:4]!r}"
+                    )
+                d = decode_media(bb, strict=False)
+                media.append(bb)
+                ws.append(d["width"])
+                hs.append(d["height"])
+                oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": media,
+                    "media_type": pdf["media_type"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "ok": oks,
+                }
+            )
+
+    return df.select("doc_id", "media", "media_type").mapInPandas(
+        op, schema=RESIZED_SCHEMA
+    )

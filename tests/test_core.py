@@ -421,3 +421,120 @@ def test_audio_video_decode_real(spark):
     # schedule is JVM-only: no Python eval in the explode stage
     plan = pts._jdf.queryExecution().executedPlan().toString()
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_png_resize_real_pixels(spark):
+    """resize_png does REAL pixel work: decode→NN-sample→re-encode round-trips
+    through the pixel decoder with exact nearest-neighbor values, on gradient
+    content, on RGB, and on streams using every PNG filter type."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        attach_media,
+        decode_png_pixels,
+        resize_images,
+        resize_png,
+    )
+
+    def make_png(w, h, color_type, pix_fn, filters=None):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        raw = bytearray()
+        rows = []
+        for y in range(h):
+            row = bytes(
+                pix_fn(x, y, c) & 0xFF for x in range(w) for c in range(ch)
+            )
+            rows.append(row)
+        # encode with chosen per-row filter types (inverse of the unfilter)
+        prev = bytes(w * ch)
+        for y, row in enumerate(rows):
+            ft = (filters or [0] * h)[y]
+            raw.append(ft)
+            if ft == 0:
+                raw.extend(row)
+            elif ft == 1:
+                raw.extend(
+                    (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                    for i in range(len(row))
+                )
+            elif ft == 2:
+                raw.extend((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+            elif ft == 3:
+                raw.extend(
+                    (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                    & 0xFF
+                    for i in range(len(row))
+                )
+            elif ft == 4:
+                out = []
+                for i in range(len(row)):
+                    a = row[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out.append((row[i] - pr) & 0xFF)
+                raw.extend(out)
+            prev = row
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # gradient grayscale through every filter type: pixel decode must undo
+    # Sub/Up/Average/Paeth exactly
+    grad = make_png(17, 9, 0, lambda x, y, c: 3 * x + 11 * y, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1])
+    w, h, ct, rows = decode_png_pixels(grad)
+    assert (w, h, ct) == (17, 9, 0)
+    assert all(rows[y][x] == (3 * x + 11 * y) & 0xFF for y in range(9) for x in range(17))
+
+    # NN resize: every output pixel equals the source pixel at the standard
+    # half-offset map src = ((2i+1)*S)//(2*D)
+    small = resize_png(grad, 5, 3)
+    w2, h2, ct2, rows2 = decode_png_pixels(small)
+    assert (w2, h2, ct2) == (5, 3, 0)
+    for y in range(3):
+        sy = ((2 * y + 1) * 9) // 6
+        for x in range(5):
+            sx = ((2 * x + 1) * 17) // 10
+            assert rows2[y][x] == (3 * sx + 11 * sy) & 0xFF
+
+    # RGB: channels stay interleaved correctly through resize
+    rgb = make_png(8, 6, 2, lambda x, y, c: x * 10 + y * 2 + c * 77)
+    big = resize_png(rgb, 16, 12)  # upscale replicates neighbors
+    w3, h3, ct3, rows3 = decode_png_pixels(big)
+    assert (w3, h3, ct3) == (16, 12, 2)
+    for x in range(16):
+        sx = ((2 * x + 1) * 8) // 32
+        for c in range(3):
+            assert rows3[0][x * 3 + c] == (sx * 10 + 0 + c * 77) & 0xFF
+
+    # hostile inputs refuse rather than mis-decode
+    with _pytest.raises(ValueError, match="not a PNG"):
+        resize_png(b"JUNK", 4, 4)
+    with _pytest.raises(ValueError, match="positive"):
+        resize_png(grad, 0, 4)
+
+    # Spark op: PNG docs get real (64,48) output, header-only formats pass
+    # through with ok=False; plan is a narrow mapInPandas projection
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    media = attach_media(docs)
+    out = resize_images(media, out_w=64, out_h=48).toPandas()
+    assert len(out) == 30
+    png_rows = out[out["media_type"] == "image/png"]
+    other = out[out["media_type"] != "image/png"]
+    assert len(png_rows) == 10 and png_rows["ok"].all()
+    assert (png_rows["width"] == 64).all() and (png_rows["height"] == 48).all()
+    assert not other["ok"].any()
+    for b in png_rows["media"]:
+        ww, hh, _, _ = decode_png_pixels(bytes(b))
+        assert (ww, hh) == (64, 48)
