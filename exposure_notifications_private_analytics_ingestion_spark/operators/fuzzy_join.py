@@ -150,14 +150,16 @@ def fuzzy_match(
         if prefix_filter and threshold > 0
         else _naive_scored(lt, rt)
     )
-    scored = counted.withColumn(
-        "jaccard",
-        F.round(
-            F.col("n_shared")
-            / (F.col("n_l") + F.col("n_r") - F.col("n_shared")),
-            6,
-        ),
-    ).filter(F.col("jaccard") >= threshold)
+    # filter on the UNROUNDED ratio (the rounded value is display only):
+    # round() can lift a true Jaccard of t-ε to exactly t, and the AllPairs
+    # prefix bound only guarantees candidate generation for true J ≥ t — so
+    # a rounded filter would break the naive ≡ prefix equivalence (and the
+    # DuckDB oracle also filters unrounded)
+    ratio = F.col("n_shared") / (F.col("n_l") + F.col("n_r") - F.col("n_shared"))
+    scored = (
+        counted.filter(ratio >= threshold)
+        .withColumn("jaccard", F.round(ratio, 6))
+    )
     out = scored.select(
         F.col("l_id").alias(left_id),
         F.col("r_id").alias("match_" + right_id),

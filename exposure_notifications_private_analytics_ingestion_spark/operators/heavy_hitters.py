@@ -26,8 +26,11 @@ __all__ = ["heavy_hitters", "rank_hitters", "topk_sketch_agg", "windowed_heavy_h
 
 def topk_sketch_agg(item_col: str, track: int) -> Column:
     """The space-saving aggregate, asked for every tracked item (k=track)
-    so the deterministic cut happens outside the sketch."""
-    return F.expr(f"approx_top_k({item_col}, {int(track)}, {int(track)})")
+    so the deterministic cut happens outside the sketch. The column name is
+    backtick-quoted so non-bare identifiers (spaces, dots, reserved words)
+    resolve as a column reference, not as arbitrary SQL."""
+    quoted = "`" + item_col.replace("`", "``") + "`"
+    return F.expr(f"approx_top_k({quoted}, {int(track)}, {int(track)})")
 
 
 def rank_hitters(sketched: DataFrame, group_cols: list[str], k: int) -> DataFrame:

@@ -658,6 +658,8 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, int, list[bytes]]:
         ctype = buf[pos + 4 : pos + 8]
         payload = buf[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
+            if len(payload) != 13:
+                raise ValueError(f"PNG: IHDR payload length {len(payload)} != 13")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", payload)
             )
@@ -674,8 +676,13 @@ def decode_png_pixels(buf: bytes) -> tuple[int, int, int, list[bytes]]:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("PNG: missing IHDR or IDAT")
+    if width == 0 or height == 0:
+        raise ValueError("PNG: zero-dimension image")
     channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: corrupt IDAT deflate stream ({e})") from e
     if len(raw) != height * (1 + width * channels):
         raise ValueError("PNG: inflated length does not match dimensions")
     return width, height, color_type, _png_unfilter(raw, width, height, channels)
@@ -726,13 +733,15 @@ def resize_images(
             for b in pdf["media"]:
                 bb = bytes(b)
                 if bb[:8] == _PNG_SIG:
+                    # struct/zlib errors included for totality: one corrupt
+                    # blob must degrade to ok=False, never kill the task
                     try:
                         media.append(resize_png(bb, out_w, out_h))
                         ws.append(out_w)
                         hs.append(out_h)
                         oks.append(True)
                         continue
-                    except ValueError:
+                    except (ValueError, struct.error, zlib.error):
                         if strict:
                             raise
                 elif strict:

@@ -216,17 +216,39 @@ class TableProvider:
             affected partitions are scanned map-side with no shuffle."""
             if not seq_col:
                 return affected.join(F.broadcast(src_keys), keys, "left_anti"), df
+            # the exact COW mirror of Iceberg's `WHEN MATCHED AND s.seq >=
+            # t.seq THEN UPDATE`: the update fires only when the comparison
+            # is TRUE, so a NULL seq on EITHER side keeps the target row and
+            # drops the matched source row (a NULL source seq must not both
+            # keep the target and insert the source — that writes duplicate
+            # keys). `_src_hit` disambiguates "no source row" from "source
+            # row with NULL seq", which a bare left-join _src_seq cannot.
             ann = affected.join(
-                F.broadcast(df.select(*keys, F.col(seq_col).alias("_src_seq"))),
+                F.broadcast(
+                    df.select(
+                        *keys,
+                        F.col(seq_col).alias("_src_seq"),
+                        F.lit(True).alias("_src_hit"),
+                    )
+                ),
                 keys,
                 "left",
             )
-            kept = ann.filter(
-                F.col("_src_seq").isNull() | (F.col(seq_col) > F.col("_src_seq"))
-            ).drop("_src_seq")
-            # keys where the stored row out-versions the source: ≤ one row
-            # per source key, collected small enough to broadcast back
-            beaten = ann.filter(F.col(seq_col) > F.col("_src_seq")).select(*keys).distinct()
+            # one scan of the affected partitions feeds BOTH outputs (kept
+            # and the beaten-key set) — without this, each side re-executes
+            # the join and the target is scanned twice per merge. The
+            # checkpoint also severs lineage from the files the overwrite
+            # below truncates, so merged no longer needs its own.
+            ann = ann.localCheckpoint(eager=True)
+            updated = F.coalesce(
+                F.col("_src_seq") >= F.col(seq_col), F.lit(False)
+            )
+            kept = ann.filter(~updated).drop("_src_seq", "_src_hit")
+            # keys where the stored row wins (newer seq, or NULL on either
+            # side): ≤ one row per source key, broadcast back
+            beaten = (
+                ann.filter(F.col("_src_hit") & ~updated).select(*keys).distinct()
+            )
             return kept, df.join(F.broadcast(beaten), keys, "left_anti")
         if partition_col:
             path = self._ident(name)

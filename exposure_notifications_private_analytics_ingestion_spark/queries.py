@@ -2041,13 +2041,16 @@ def q_sessionize_events(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.coalesce(
-        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+    # millisecond gaps, NOT unix_timestamp: the data carries sub-second
+    # timestamps and unix_timestamp floors to whole seconds, which disagrees
+    # with the oracle's fractional epoch at the exact 1800 s boundary
+    gap_ms = F.coalesce(
+        F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)),
         F.lit(0),
     )
     labeled = ev.withColumn(
         "session_idx",
-        F.sum(F.when(gap_s > 1800, 1).otherwise(0)).over(w).cast("long"),
+        F.sum(F.when(gap_ms > 1_800_000, 1).otherwise(0)).over(w).cast("long"),
     )
     return (
         labeled.groupBy("user_id", "session_idx")
@@ -2063,13 +2066,13 @@ def q_sessionize_events(spark, sf_dir):
 SQL_SESSIONIZE_EVENTS = """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
-         coalesce(epoch(ts) - epoch(lag(ts) OVER w), 0) AS gap_s
+         coalesce(epoch_ms(ts) - epoch_ms(lag(ts) OVER w), 0) AS gap_ms
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 labeled AS (
   SELECT user_id, ts, value,
-         sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+         sum(CASE WHEN gap_ms > 1800000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_idx
   FROM g
 )

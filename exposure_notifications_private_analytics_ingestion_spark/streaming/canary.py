@@ -50,7 +50,15 @@ def canary_tps(
         f"{workdir}/canary-c",
         StreamOptions(**_CANARY_OPTS),
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
+    if not finished:
+        # pathologically degraded window: stop the stream so it cannot keep
+        # competing for cores during the measurements this canary gates, and
+        # report a rate that cannot pass the floor instead of pretending all
+        # turns completed inside the timeout
+        q.stop()
+        q.awaitTermination(60)
+        return len(pdf), 0.0
     return len(pdf), len(pdf) / (time.time() - t0)
 
 

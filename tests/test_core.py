@@ -538,3 +538,54 @@ def test_png_resize_real_pixels(spark):
     for b in png_rows["media"]:
         ww, hh, _, _ = decode_png_pixels(bytes(b))
         assert (ww, hh) == (64, 48)
+
+
+def test_png_resize_total_on_corrupt_bytes(spark):
+    """Totality: blobs with a PNG signature but corrupt internals (bad
+    deflate, truncated IHDR, zero dims) degrade to ok=False pass-through in
+    non-strict mode — never a task-killing zlib.error/struct.error."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        encode_png,
+        resize_images,
+        resize_png,
+    )
+
+    good = encode_png(10, 10, gray=3)
+    # corrupt IDAT deflate bytes (keep chunk framing valid)
+    bad_idat = (
+        _PNG_SIG
+        + good[8 : 8 + 25]  # IHDR chunk (len 12+13)
+        + _png_chunk(b"IDAT", b"\x99\x99\x99\x99")
+        + _png_chunk(b"IEND", b"")
+    )
+    trunc_ihdr = _PNG_SIG + _png_chunk(b"IHDR", b"\x00" * 5)
+    zero_dim = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(b""))
+        + _png_chunk(b"IEND", b"")
+    )
+    for bad in (bad_idat, trunc_ihdr, zero_dim):
+        with _pytest.raises(ValueError):
+            resize_png(bad, 4, 4)
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "media": [good, bad_idat, trunc_ihdr, zero_dim],
+            "media_type": ["image/png"] * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf, "doc_id long, media binary, media_type string")
+    out = resize_images(df, out_w=4, out_h=4).orderBy("doc_id").toPandas()
+    assert list(out["ok"]) == [True, False, False, False]
+    with _pytest.raises(Exception):
+        resize_images(df, out_w=4, out_h=4, strict=True).collect()

@@ -214,3 +214,34 @@ def test_merge_upsert_rejects_schema_mismatch(spark, provider):
         provider.merge_upsert(narrow, "t8", keys=["conv_id", "turn_idx"])
     # table untouched by the refused upsert
     assert provider.read("t8").count() == 120
+
+
+def test_merge_upsert_null_seq_keeps_target_no_duplicate(spark, provider):
+    """The COW mirror of Iceberg's `WHEN MATCHED AND s.seq >= t.seq`: a NULL
+    comparison means NO update — a matched source row with NULL seq must
+    neither replace the stored row NOR insert a duplicate key, and a NULL
+    STORED seq is likewise never beaten. Unmatched NULL-seq rows still
+    insert."""
+    provider.replace(_hours_table(spark).withColumn("seq", F.lit(5)), "t5n")
+    src = spark.createDataFrame(
+        [("c000", 0, "NULLSEQ", 0, None), ("c997", 0, "INS", 1, None)],
+        "conv_id string, turn_idx int, text string, hour int, seq int",
+    )
+    provider.merge_upsert(src, "t5n", keys=["conv_id", "turn_idx"], seq_col="seq")
+    out = provider.read("t5n")
+    hit = out.filter("conv_id='c000' and turn_idx=0").collect()
+    assert len(hit) == 1, "NULL-seq matched source must not duplicate the key"
+    assert hit[0]["text"] == "text-0-0" and hit[0]["seq"] == 5
+    ins = out.filter("conv_id='c997'").collect()
+    assert len(ins) == 1 and ins[0]["text"] == "INS"
+    # NULL stored seq: comparison is NULL -> target survives, no duplicate
+    provider.replace(
+        _hours_table(spark).withColumn("seq", F.lit(None).cast("int")), "t5n2"
+    )
+    src2 = spark.createDataFrame(
+        [("c000", 0, "V9", 0, 9)],
+        "conv_id string, turn_idx int, text string, hour int, seq int",
+    )
+    provider.merge_upsert(src2, "t5n2", keys=["conv_id", "turn_idx"], seq_col="seq")
+    row = provider.read("t5n2").filter("conv_id='c000' and turn_idx=0").collect()
+    assert len(row) == 1 and row[0]["text"] == "text-0-0"
