@@ -52,6 +52,13 @@ def _symbolized(
     for ch in list(symbols.values()) + [other_symbol]:
         if len(ch) != 1:
             raise ValueError(f"symbols must be single chars, got {ch!r}")
+    if other_symbol in symbols.values():
+        # a collision silently makes unmapped event types match as a real
+        # symbol, changing n_matches/first_match — fail loudly instead
+        raise ValueError(
+            f"other_symbol {other_symbol!r} collides with a mapped symbol; "
+            "pick a char outside symbols.values()"
+        )
     clash = set(_RESERVED) & set(events.columns)
     if clash:
         raise ValueError(f"pattern_match reserves column names {sorted(clash)}")

@@ -207,15 +207,28 @@ class TableProvider:
         target = target.select(*df.columns)
         src_keys = df.select(*keys).distinct()
 
+        def _key_cond(left: DataFrame, right: DataFrame):
+            # NULL-safe key equality, the COW mirror of the Iceberg MERGE's
+            # `t.k <=> s.k` (_merge_sql above): a NULL key value matches a
+            # NULL key value, so it UPDATES on both providers instead of
+            # inserting a duplicate on the parquet fallback only.
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & left[k].eqNullSafe(right[k])
+            return cond
+
         def _split(affected: DataFrame) -> tuple[DataFrame, DataFrame]:
             """(target rows to keep, source rows to apply). Without seq_col
             every matched target row is replaced; with it, a target row
             whose seq beats the source's survives and the stale source row
             is dropped — the COW mirror of WHEN MATCHED AND s.seq >= t.seq.
             Both joins broadcast the (small) micro-batch side, so the
-            affected partitions are scanned map-side with no shuffle."""
+            affected partitions are scanned map-side with no shuffle; all
+            key matching is NULL-safe (see _key_cond)."""
             if not seq_col:
-                return affected.join(F.broadcast(src_keys), keys, "left_anti"), df
+                sk = F.broadcast(src_keys.alias("_mu_s"))
+                aff = affected.alias("_mu_t")
+                return aff.join(sk, _key_cond(aff, sk), "left_anti"), df
             # the exact COW mirror of Iceberg's `WHEN MATCHED AND s.seq >=
             # t.seq THEN UPDATE`: the update fires only when the comparison
             # is TRUE, so a NULL seq on EITHER side keeps the target row and
@@ -223,22 +236,24 @@ class TableProvider:
             # keep the target and insert the source — that writes duplicate
             # keys). `_src_hit` disambiguates "no source row" from "source
             # row with NULL seq", which a bare left-join _src_seq cannot.
-            ann = affected.join(
-                F.broadcast(
-                    df.select(
-                        *keys,
-                        F.col(seq_col).alias("_src_seq"),
-                        F.lit(True).alias("_src_hit"),
-                    )
-                ),
-                keys,
-                "left",
+            aff = affected.alias("_mu_t")
+            src = F.broadcast(
+                df.select(
+                    *[F.col(k).alias(f"_src_{k}") for k in keys],
+                    F.col(seq_col).alias("_src_seq"),
+                    F.lit(True).alias("_src_hit"),
+                ).alias("_mu_s")
             )
+            on = F.lit(True)
+            for k in keys:
+                on = on & F.col(f"_mu_t.{k}").eqNullSafe(F.col(f"_src_{k}"))
+            ann = aff.join(src, on, "left").drop(*[f"_src_{k}" for k in keys])
             # one scan of the affected partitions feeds BOTH outputs (kept
             # and the beaten-key set) — without this, each side re-executes
             # the join and the target is scanned twice per merge. The
             # checkpoint also severs lineage from the files the overwrite
-            # below truncates, so merged no longer needs its own.
+            # below truncates, so merged no longer needs its own on this
+            # path (merge_upsert skips it when seq_col is set).
             ann = ann.localCheckpoint(eager=True)
             updated = F.coalesce(
                 F.col("_src_seq") >= F.col(seq_col), F.lit(False)
@@ -246,10 +261,14 @@ class TableProvider:
             kept = ann.filter(~updated).drop("_src_seq", "_src_hit")
             # keys where the stored row wins (newer seq, or NULL on either
             # side): ≤ one row per source key, broadcast back
-            beaten = (
-                ann.filter(F.col("_src_hit") & ~updated).select(*keys).distinct()
+            beaten = F.broadcast(
+                ann.filter(F.col("_src_hit") & ~updated)
+                .select(*keys)
+                .distinct()
+                .alias("_mu_b")
             )
-            return kept, df.join(F.broadcast(beaten), keys, "left_anti")
+            dfa = df.alias("_mu_d")
+            return kept, dfa.join(beaten, _key_cond(dfa, beaten), "left_anti")
         if partition_col:
             path = self._ident(name)
             jvm = self.spark.sparkContext._jvm
@@ -262,15 +281,26 @@ class TableProvider:
             )
             if layout_ok:
                 parts = [r[0] for r in df.select(partition_col).distinct().collect()]
-                affected = target.filter(F.col(partition_col).isin(parts))
+                # isin never matches NULL — include the default partition
+                # explicitly when the source touches it, or its target rows
+                # would dodge the key match and duplicate on insert
+                pred = F.col(partition_col).isin([p for p in parts if p is not None])
+                if any(p is None for p in parts):
+                    pred = pred | F.col(partition_col).isNull()
+                affected = target.filter(pred)
             else:  # first upsert converts the table into the scoped layout
                 affected = target
             kept, df_eff = _split(affected)
             # localCheckpoint SEVERS lineage, not just materializes: a
             # cache()+count() still recomputes lost blocks from the source
             # files — which the overwrite below is truncating — silently
-            # corrupting the table if an executor dies mid-write
-            merged = kept.unionByName(df_eff).localCheckpoint(eager=True)
+            # corrupting the table if an executor dies mid-write. On the
+            # seq_col path _split already checkpointed `ann` (the only
+            # lineage into the overwritten files), so a second eager
+            # materialization of the full affected set would be pure waste.
+            merged = kept.unionByName(df_eff)
+            if not seq_col:
+                merged = merged.localCheckpoint(eager=True)
             if layout_ok:
                 from .compaction import _dynamic_overwrite
 
@@ -287,7 +317,9 @@ class TableProvider:
                 )
         else:
             kept, df_eff = _split(target)
-            merged = kept.unionByName(df_eff).localCheckpoint(eager=True)
+            merged = kept.unionByName(df_eff)
+            if not seq_col:  # seq path: _split's ann checkpoint suffices
+                merged = merged.localCheckpoint(eager=True)
             merged.write.mode("overwrite").parquet(self._ident(name))
 
     def delete_where(self, name: str, predicate: str) -> None:

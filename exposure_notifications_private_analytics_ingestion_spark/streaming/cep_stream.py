@@ -169,6 +169,13 @@ def pattern_match_stream(
     for ch in list(symbols.values()) + [other_symbol]:
         if len(ch) != 1:
             raise ValueError(f"symbols must be single chars, got {ch!r}")
+    if other_symbol in symbols.values():
+        # same contract as the batch twin (operators/cep.py _symbolized): a
+        # collision makes unmapped types match as a real symbol
+        raise ValueError(
+            f"other_symbol {other_symbol!r} collides with a mapped symbol; "
+            "pick a char outside symbols.values()"
+        )
     dtypes = dict(events.dtypes)
     if tiebreak not in dtypes:
         raise ValueError(f"tiebreak column {tiebreak!r} not in {sorted(dtypes)}")

@@ -48,12 +48,15 @@ def main() -> int:
     tmp = tempfile.mkdtemp(prefix="stream-canary-")
     try:
         n, rate = canary_tps(spark, tmp, n_convs=a.convs, width=a.cores)
-        dt = n / rate  # the measured stream wall (input generation excluded)
+        # rate == 0.0 is the timeout sentinel from canary_tps (stream never
+        # finished inside its budget): there is no finite wall to report, and
+        # classify(0.0) already drives the DEGRADED verdict — don't divide.
+        wall = f"{n / rate:.1f}" if rate > 0 else '"timeout"'
         verdict = (
             "HEALTHY" if classify(rate, a.floor) == "HEALTHY" else "STREAM_DEGRADED"
         )
         print(
-            f'STREAM_CANARY {{"n_turns": {n}, "wall_s": {dt:.1f}, '
+            f'STREAM_CANARY {{"n_turns": {n}, "wall_s": {wall}, '
             f'"turns_per_sec": {rate:.0f}, "floor": {a.floor:.0f}, '
             f'"verdict": "{verdict}"}}'
         )
