@@ -2006,27 +2006,37 @@ def extended_registry() -> dict[str, tuple]:
     by tests/test_extended_oracle.py at sf0.001; bench.py times them at sf.
     """
     return {
-        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "packing_summary": (q_packing_summary, SQL_PACKING_SUMMARY),
         "event_type_cube": (q_event_type_cube, SQL_EVENT_TYPE_CUBE),
         "users_click_and_purchase": (q_users_click_and_purchase, SQL_CLICK_AND_PURCHASE),
-        "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
-        "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
-        "video_frame_samples": (q_video_frame_samples, SQL_VIDEO_FRAME_SAMPLES),
         "bloom_prefilter_join": (q_bloom_prefilter_join, SQL_BLOOM_PREFILTER_JOIN),
-        "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
         "zorder_events": (q_zorder_events, _sql_zorder_events()),
-        "token_budget_mixture": (q_token_budget_mixture, _sql_token_budget_mixture()),
         "mixture_summary": (q_mixture_summary, _sql_mixture_summary()),
-        "sequence_dedup_groups": (q_sequence_dedup_groups, SQL_SEQUENCE_DEDUP_GROUPS),
-        "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-        "fuzzy_part_match": (q_fuzzy_part_match, SQL_FUZZY_PART_MATCH),
-        "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
-        "cep_pattern_match": (q_cep_pattern_match, SQL_CEP_PATTERN_MATCH),
-        "episode_cep_match": (q_episode_cep_match, SQL_EPISODE_CEP_MATCH),
-        "heavy_hitters_hourly": (q_heavy_hitters_hourly, SQL_HEAVY_HITTERS_HOURLY),
-        "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
-        "window_anomaly": (q_window_anomaly, SQL_WINDOW_ANOMALY),
+        # --- round-5 rotation: displaced from the driver's 50-row budget to
+        # make room for the CEP / packing / mixture / fuzzy / multimodal ops
+        # that had never earned a driver CORRECTNESS row (VERDICT r4 #2).
+        # Same DuckDB gate, pytest provenance (tests/test_extended_oracle.py).
+        "time_bounded_join": (q_time_bounded_join, SQL_TIME_BOUNDED_JOIN),
+        "inter_event_gaps": (q_inter_event_gaps, SQL_INTER_EVENT_GAPS),
+        "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
+        "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_Q1),
+        "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
+        "part_revenue_by_region": (q_part_revenue_by_region, SQL_PART_REVENUE_REGION),
+        "top_spenders_per_type": (q_top_spenders_per_type, SQL_TOP_SPENDERS),
+        "distinct_users_hourly": (q_distinct_users_hourly, SQL_DISTINCT_USERS),
+        "customers_without_orders": (
+            q_customers_without_orders,
+            SQL_CUSTOMERS_NO_ORDERS,
+        ),
+        "daily_event_pivot": (q_daily_event_pivot, SQL_DAILY_EVENT_PIVOT),
+        "event_type_rollup": (q_event_type_rollup, SQL_EVENT_TYPE_ROLLUP),
+        "users_click_no_purchase": (
+            q_users_click_no_purchase,
+            SQL_CLICK_NO_PURCHASE,
+        ),
+        "corpus_stats_by_lang": (q_corpus_stats_by_lang, _sql_corpus_stats()),
+        "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
+        "sample_n_per_lang": (q_sample_n_per_lang, SQL_SAMPLE_N_PER_LANG),
     }
 
 
@@ -2534,31 +2544,32 @@ def registry() -> dict[str, tuple]:
         "session_windows": (q_session_windows, SQL_SESSION),
         "hot_key_salted_agg": (q_hot_key_salted_agg, SQL_SALTED),
         "attested_turn_counts": (q_attested_turn_counts, SQL_ATTESTED_TURN_COUNTS),
-        # --- temporal joins + event analytics
+        # --- temporal joins + event analytics (time_bounded_join,
+        # inter_event_gaps, running_user_value rotated to the extended gate
+        # in round 5 — see COVERAGE.md "round-5 rotation")
         "asof_join_signup": (q_asof_join_signup, SQL_ASOF_SIGNUP),
         "interval_join_incidents": (
             q_interval_join_incidents,
             SQL_INTERVAL_INCIDENTS,
         ),
-        "time_bounded_join": (q_time_bounded_join, SQL_TIME_BOUNDED_JOIN),
-        "inter_event_gaps": (q_inter_event_gaps, SQL_INTER_EVENT_GAPS),
-        "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
-        # --- OLAP completeness (joins, aggs, grouping sets, set ops)
-        "lineitem_pricing_summary": (q_lineitem_pricing_summary, SQL_Q1),
-        "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_NATION),
-        "part_revenue_by_region": (q_part_revenue_by_region, SQL_PART_REVENUE_REGION),
-        "top_spenders_per_type": (q_top_spenders_per_type, SQL_TOP_SPENDERS),
-        "distinct_users_hourly": (q_distinct_users_hourly, SQL_DISTINCT_USERS),
-        "customers_without_orders": (
-            q_customers_without_orders,
-            SQL_CUSTOMERS_NO_ORDERS,
-        ),
-        "daily_event_pivot": (q_daily_event_pivot, SQL_DAILY_EVENT_PIVOT),
-        "event_type_rollup": (q_event_type_rollup, SQL_EVENT_TYPE_ROLLUP),
-        "users_click_no_purchase": (
-            q_users_click_no_purchase,
-            SQL_CLICK_NO_PURCHASE,
-        ),
+        # --- CEP / sessionization / streaming-analytics batch twins
+        # (promoted round 5: first driver-green rows for the CEP suite)
+        "cep_pattern_match": (q_cep_pattern_match, SQL_CEP_PATTERN_MATCH),
+        "episode_cep_match": (q_episode_cep_match, SQL_EPISODE_CEP_MATCH),
+        "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+        "heavy_hitters_hourly": (q_heavy_hitters_hourly, SQL_HEAVY_HITTERS_HOURLY),
+        "window_anomaly": (q_window_anomaly, SQL_WINDOW_ANOMALY),
+        "funnel_stages": (q_funnel_stages, SQL_FUNNEL_STAGES),
+        "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+        "sequence_dedup_groups": (q_sequence_dedup_groups, SQL_SEQUENCE_DEDUP_GROUPS),
+        # --- training-data pipeline breadth (promoted round 5)
+        "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+        "fuzzy_part_match": (q_fuzzy_part_match, SQL_FUZZY_PART_MATCH),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+        "token_budget_mixture": (q_token_budget_mixture, _sql_token_budget_mixture()),
+        "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+        "audio_features": (q_audio_features, SQL_AUDIO_FEATURES),
+        "video_frame_samples": (q_video_frame_samples, SQL_VIDEO_FRAME_SAMPLES),
         # --- training-data hygiene (brief-first-class; slots freed by
         # retiring the CUBE and INTERSECT near-variants of the ROLLUP and
         # EXCEPT entries above to pytest-only certification)
@@ -2571,10 +2582,7 @@ def registry() -> dict[str, tuple]:
         "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
         "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
         "ngram_doc_frequency": (q_ngram_doc_frequency, SQL_NGRAM_DOC_FREQ),
-        "corpus_stats_by_lang": (q_corpus_stats_by_lang, _sql_corpus_stats()),
-        "length_percentiles": (q_length_percentiles, SQL_LENGTH_PERCENTILES),
         "stratified_sample_docs": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-        "sample_n_per_lang": (q_sample_n_per_lang, SQL_SAMPLE_N_PER_LANG),
         # --- dedup suite (exact / span / minhash-LSH / simhash / verified CC)
         "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
         "span_dedup_docs": (q_span_dedup, SQL_SPAN_DEDUP),
