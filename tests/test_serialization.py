@@ -415,3 +415,41 @@ def test_manifest_http_fetch_and_invalid_url_contract(tmp_path):
         DataProcessorManifest.load("http://127.0.0.1:1/manifest.json")
     with pytest.raises(ManifestFetchError):
         DataProcessorManifest.load(str(tmp_path / "does-not-exist.json"))
+
+
+def test_manifest_fast_path_equals_directory_scan(spark, tmp_path):
+    """read_packet_containers has two planners: the manifest fast path (paths
+    from the writer's avro_manifest parquet, executor-side open) and the
+    binaryFile directory scan (for reference-produced trees with no
+    manifest). Both must decode the identical packet set — pinned here by
+    copying the container tree away from its manifest sibling."""
+    import shutil
+
+    from exposure_notifications_private_analytics_ingestion_spark.sources import (
+        generate_turns,
+        read_packet_containers,
+        write_turns_table,
+    )
+
+    pdf = generate_turns(n_convs=8, seed=11, hours=1)
+    write_turns_table(spark, pdf, str(tmp_path / "turns"))
+    opts = IngestionOptions(
+        window_start_s=1704067200,
+        duration_s=7200,
+        batch_size=6,
+        emit_avro_containers=True,
+    )
+    run_ingestion(spark, str(tmp_path / "turns"), str(tmp_path / "out"), opts)
+    # manifest sibling exists here -> fast path
+    via_manifest = read_packet_containers(spark, str(tmp_path / "out/avro"))
+    # same tree without the sibling -> binaryFile fallback
+    shutil.copytree(str(tmp_path / "out/avro"), str(tmp_path / "bare/avro"))
+    via_scan = read_packet_containers(spark, str(tmp_path / "bare/avro"))
+    cols = via_manifest.columns
+    assert via_scan.columns == cols
+    assert via_manifest.count() > 0
+    assert (
+        via_manifest.exceptAll(via_scan).count()
+        + via_scan.exceptAll(via_manifest).count()
+        == 0
+    )
