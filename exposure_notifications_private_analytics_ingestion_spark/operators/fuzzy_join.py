@@ -64,10 +64,20 @@ def _trigrams(df: DataFrame, id_col: str, text_col: str, out_id: str) -> DataFra
     )
 
 
-def _prefix_scored(lt: DataFrame, rt: DataFrame, threshold: float) -> DataFrame:
-    """(l_id, r_id, n_l, n_r, n_shared) for candidate pairs surviving the
-    prefix filter + symmetric length filter; exact counts, no false
-    negatives for Jaccard >= threshold (see module docstring)."""
+def _prefix_packed(
+    lt: DataFrame, rt: DataFrame, threshold: float, max_df: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Per-side (id, arr, n, pfx) tables for the prefix-filtered join.
+
+    ``max_df`` is the stop-trigram cap (VERDICT r4 #4): trigrams whose
+    document frequency across BOTH sides exceeds it are dropped from the
+    PREFIXES ONLY — candidate generation never fans out on boilerplate
+    trigrams an adversarially-hot vocabulary shares across the corpus. Full
+    arrays still verify, so the Jaccard of every surviving pair is exact
+    and unchanged; the documented recall trade is that a pair ALL of whose
+    prefix-overlap evidence is hotter than the cap is never generated.
+    Genuinely-similar names share rare core trigrams, which is why a planted
+    hot-vocabulary fixture keeps full recall (tests/test_fuzzy_scale.py)."""
     # global total order: (df asc, tri asc). One hash-agg over both sides;
     # the struct sorts lexicographically so rare trigrams lead.
     freq = (
@@ -80,22 +90,37 @@ def _prefix_scored(lt: DataFrame, rt: DataFrame, threshold: float) -> DataFrame:
     def packed(side: DataFrame, id_col: str) -> DataFrame:
         # per-record trigram array sorted by global rarity + prefix slice;
         # n - ceil(t*n) + 1 rarest trigrams participate in the join
-        arr = (
+        sarr = (
             side.join(freq, "tri")
             .groupBy(id_col)
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_df", "tri"))),
-                    lambda s: s["tri"],
-                ).alias("arr")
+                F.array_sort(F.collect_list(F.struct("_df", "tri"))).alias(
+                    "sarr"
+                )
             )
-            .withColumn("n", F.size("arr"))
+            .withColumn("n", F.size("sarr"))
         )
-        p = arr.n - F.ceil(F.lit(threshold) * arr.n).cast("int") + 1
-        return arr.withColumn("pfx", F.slice("arr", 1, p))
+        p = sarr.n - F.ceil(F.lit(threshold) * sarr.n).cast("int") + 1
+        pfx = F.slice("sarr", F.lit(1), p)
+        if max_df is not None:
+            pfx = F.filter(pfx, lambda s: s["_df"] <= F.lit(max_df))
+        return (
+            sarr.withColumn("pfx", F.transform(pfx, lambda s: s["tri"]))
+            .withColumn("arr", F.transform("sarr", lambda s: s["tri"]))
+            .drop("sarr")
+        )
 
-    lp = packed(lt, "l_id")
-    rp = packed(rt, "r_id")
+    return packed(lt, "l_id"), packed(rt, "r_id")
+
+
+def _prefix_scored(
+    lt: DataFrame, rt: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """(l_id, r_id, n_l, n_r, n_shared) for candidate pairs surviving the
+    prefix filter + symmetric length filter; exact counts, no false
+    negatives for Jaccard >= threshold (see module docstring; with
+    ``max_df`` see the recall note on ``_prefix_packed``)."""
+    lp, rp = _prefix_packed(lt, rt, threshold, max_df)
     cands = (
         lp.select("l_id", F.explode("pfx").alias("tri"))
         .join(rp.select("r_id", F.explode("pfx").alias("tri")), "tri")
@@ -137,16 +162,21 @@ def fuzzy_match(
     threshold: float = 0.5,
     best_only: bool = True,
     prefix_filter: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(left_id, right_id, jaccard [, rank]) for pairs with trigram-set
     Jaccard ≥ ``threshold``; with ``best_only`` each left row keeps its
     single best match (ties → lowest ``right_id``). ``prefix_filter``
     selects the AllPairs prefix-filtered candidate path (identical results,
-    hot-trigram-proof); the naive trigram join is kept as the baseline."""
+    hot-trigram-proof); the naive trigram join is kept as the baseline.
+    ``max_df`` (prefix path only) additionally drops trigrams with document
+    frequency above the cap from candidate generation — the web-scale
+    stop-trigram front-end; Jaccard values are still exact (full arrays
+    verify), recall bounded as documented on ``_prefix_packed``."""
     lt = _trigrams(left, left_id, left_text, "l_id")
     rt = _trigrams(right, right_id, right_text, "r_id")
     counted = (
-        _prefix_scored(lt, rt, threshold)
+        _prefix_scored(lt, rt, threshold, max_df)
         if prefix_filter and threshold > 0
         else _naive_scored(lt, rt)
     )
@@ -174,4 +204,30 @@ def fuzzy_match(
         out.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") == 1)
         .drop("rank")
+    )
+
+
+def candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Diagnostic: the (l_id, r_id) candidate set the prefix-filtered join
+    would verify, BEFORE the length filter and exact Jaccard. Counting this
+    is how a cap is tuned (and how tests/test_fuzzy_scale.py proves
+    ``max_df`` shrinks candidates on a hot vocabulary without losing planted
+    matches)."""
+    lt = _trigrams(left, left_id, left_text, "l_id")
+    rt = _trigrams(right, right_id, right_text, "r_id")
+    lp, rp = _prefix_packed(lt, rt, threshold, max_df)
+    return (
+        lp.select("l_id", F.explode("pfx").alias("tri"))
+        .join(rp.select("r_id", F.explode("pfx").alias("tri")), "tri")
+        .select("l_id", "r_id")
+        .distinct()
     )
