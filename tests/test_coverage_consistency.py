@@ -42,6 +42,26 @@ def test_registry_sizes_match_driver_contract():
     assert len(names) == len(set(names))
 
 
+def test_readme_registry_arithmetic_is_derived():
+    """README's registry counts drifted twice (VERDICT r4 #6: '19 extended',
+    '70 queries'); pin every count claim to the live registries the same
+    way COVERAGE.md is pinned."""
+    readme = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    n_reg, n_ret = len(registry()), len(retired_registry())
+    n_ext, n_apx = len(extended_registry()), len(approx_registry())
+    total = n_reg + n_ret + n_ext + n_apx
+    exact = n_reg + n_ret + n_ext
+    for claim in (
+        f"{n_reg}-query driver registry",
+        f"{n_ret} retired baselines",
+        f"{n_ext}\n               extended breadth ops",
+        f"{n_apx} approx entries",
+        f"({total} total)",
+        f"{exact} queries\n  oracle-checked",
+    ):
+        assert claim in readme, f"README count claim stale: {claim!r}"
+
+
 def test_bench_times_every_registry_tier():
     """bench.py must iterate all four registry tiers — a tier dropped from
     the loop silently loses its perf signal."""
