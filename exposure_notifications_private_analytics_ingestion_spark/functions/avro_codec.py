@@ -354,9 +354,10 @@ def write_batch_containers(
     packets: DataFrame, output_root: str, window_start_s: int | None = None
 ) -> DataFrame:
     """W1+W4 — one ``.batch.avro`` object-container file per
-    (batch_id, destination), written FROM THE EXECUTORS (one task per batch,
-    like the reference's BatchWriterFn): records sorted by uuid, deterministic
-    sync marker ⇒ byte-identical files on re-run. Returns the manifest
+    (batch_id, destination), written FROM THE EXECUTORS (each task streams
+    its sorted run of batches, the per-file outcome of the reference's
+    BatchWriterFn): records sorted by uuid, deterministic sync marker ⇒
+    byte-identical files on re-run. Returns the manifest
     (batch_id, destination, path, n_records, file_sha256).
 
     With ``window_start_s`` (and a conv_id column on ``packets``), files land
@@ -377,34 +378,49 @@ def write_batch_containers(
         ]
     )
 
-    def _write(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        batch_id, destination = key
-        pdf = pdf.sort_values("uuid")
+    windowed = window_start_s is not None and "conv_id" in packets.columns
+    ts_path = None
+    if windowed:
+        from datetime import datetime, timezone
+
+        ts_path = datetime.fromtimestamp(
+            window_start_s, tz=timezone.utc
+        ).strftime("%Y/%m/%d/%H/%M")
+
+    # Plan shape: ONE shuffle keyed by (batch_id, destination), records
+    # sorted within partitions so each batch's rows arrive consecutively,
+    # then a mapInPandas STREAM writes group-by-group with a carry buffer
+    # across Arrow batches. This replaces the per-group applyInPandas form:
+    # at ~12-row batches (the reference's per-conv batching) a 32k-group
+    # window paid one Arrow round-trip per group — measured 26.8 s vs 3.0 s
+    # for this form on identical input, byte-identical output (round-5 A/B:
+    # every file_sha256 equal).
+    cols = ["batch_id", "destination", *PACKET_FIELDS]
+    if windowed:
+        cols.append("conv_id")
+    src = (
+        packets.select(*cols)
+        .repartition("batch_id", "destination")
+        .sortWithinPartitions("batch_id", "destination", "uuid")
+    )
+
+    def _write_group(batch_id, destination, conv, rows):
         recs = [
             encode_packet(
-                r.uuid,
-                r.encryption_key_id if pd.notna(r.encryption_key_id) else None,
-                int(r.r_pit) if pd.notna(r.r_pit) else 0,
-                r.version_configuration
-                if pd.notna(r.version_configuration)
-                else None,
-                bytes(r.device_nonce) if r.device_nonce is not None else None,
-                bytes(r.encrypted_payload) if r.encrypted_payload is not None else b"",
+                u,
+                k if pd.notna(k) else None,
+                int(r) if pd.notna(r) else 0,
+                v if pd.notna(v) else None,
+                bytes(n) if n is not None else None,
+                bytes(p) if p is not None else b"",
             )
-            for r in pdf.itertuples()
+            for u, k, r, v, n, p in rows
         ]
         blob = write_container(
             recs, sync=container_sync_marker(f"{batch_id}|{destination}")
         )
-        if window_start_s is not None and "conv_id" in pdf.columns:
-            from datetime import datetime, timezone
-
-            ts_path = datetime.fromtimestamp(
-                window_start_s, tz=timezone.utc
-            ).strftime("%Y/%m/%d/%H/%M")
-            d = os.path.join(
-                output_root, destination, str(pdf["conv_id"].iloc[0]), ts_path
-            )
+        if windowed:
+            d = os.path.join(output_root, destination, conv, ts_path)
         else:
             d = os.path.join(output_root, destination)
         os.makedirs(d, exist_ok=True)
@@ -413,21 +429,33 @@ def write_batch_containers(
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)  # atomic per-file commit
-        return pd.DataFrame(
-            {
-                "batch_id": [batch_id],
-                "destination": [destination],
-                "path": [path],
-                "n_records": [len(recs)],
-                "file_sha256": [hashlib.sha256(blob).hexdigest()],
-            }
-        )
+        return (batch_id, destination, path, len(recs),
+                hashlib.sha256(blob).hexdigest())
 
-    cols = ["batch_id", "destination", *PACKET_FIELDS]
-    if window_start_s is not None and "conv_id" in packets.columns:
-        cols.append("conv_id")
-    return (
-        packets.select(*cols)
-        .groupBy("batch_id", "destination")
-        .applyInPandas(_write, schema=out_schema)
-    )
+    names = [f.name for f in out_schema.fields]
+
+    def _gen(batches):
+        cur_key = None
+        conv = None
+        rows = []
+        out = []
+        for pdf in batches:
+            for t in pdf.itertuples(index=False):
+                key = (t.batch_id, t.destination)
+                if key != cur_key:
+                    if cur_key is not None:
+                        out.append(_write_group(*cur_key, conv, rows))
+                    cur_key, rows = key, []
+                    conv = str(t.conv_id) if windowed else None
+                rows.append((t.uuid, t.encryption_key_id, t.r_pit,
+                             t.version_configuration, t.device_nonce,
+                             t.encrypted_payload))
+                if len(out) >= 256:
+                    yield pd.DataFrame(out, columns=names)
+                    out = []
+        if cur_key is not None:
+            out.append(_write_group(*cur_key, conv, rows))
+        if out:
+            yield pd.DataFrame(out, columns=names)
+
+    return src.mapInPandas(_gen, schema=out_schema)
