@@ -44,6 +44,10 @@ QUADRATIC_CAPPED = {
 }
 QUAD_CAP_ROWS = 500
 
+# per-workdir (n_turns, n_steady) for _stream_legs — filled at generation,
+# recovered by counting the parquet if the workdir pre-exists
+_LEG_COUNTS: dict[str, tuple[int, int]] = {}
+
 
 def _noop_write(df):
     df.write.format("noop").mode("overwrite").save()
@@ -77,9 +81,21 @@ def _stream_legs(spark, ml, tmp, tag=""):
         spark.createDataFrame(pdf2, schema=TURNS_SCHEMA).repartition(
             CPUS
         ).write.mode("overwrite").parquet(f"{tmp}/turns-steady")
-        _stream_legs.n_turns = len(pdf)
-        _stream_legs.n_steady = len(pdf2)
-    n_turns, n_steady = _stream_legs.n_turns, _stream_legs.n_steady
+        _LEG_COUNTS[tmp] = (len(pdf), len(pdf2))
+    if tmp not in _LEG_COUNTS:  # pre-existing workdir: count the parquet
+        _LEG_COUNTS[tmp] = (
+            spark.read.parquet(f"{tmp}/turns").count(),
+            spark.read.parquet(f"{tmp}/turns-steady").count(),
+        )
+    n_turns, n_steady = _LEG_COUNTS[tmp]
+
+    def _await(sq, budget_s):
+        # a timed-out availableNow query must be STOPPED, not abandoned: a
+        # zombie stream would compete for every core during the next leg's
+        # measurement (the same guard canary_tps grew in 85b4e5b)
+        if not sq.awaitTermination(budget_s):
+            sq.stop()
+            sq.awaitTermination(60)
 
     # startup leg: fixed JVM/state-store init over ~190k turns
     ml.progress.clear()
@@ -91,7 +107,7 @@ def _stream_legs(spark, ml, tmp, tag=""):
         f"{tmp}/ck{tag}",
         StreamOptions(batch_size=1000, window_s=3600, watermark="1 hour"),
     )
-    sq.awaitTermination(600)
+    _await(sq, 600)
     stream_s = _t.time() - t0
     p95 = ml.batch_close_p95_ms()
 
@@ -108,7 +124,7 @@ def _stream_legs(spark, ml, tmp, tag=""):
         StreamOptions(batch_size=5000, window_s=7200, watermark="1 hour",
                       bucket_by=4096),
     )
-    sq.awaitTermination(900)
+    _await(sq, 900)
     steady_s = _t.time() - t0
     p95_steady = ml.batch_close_p95_ms()
     return {

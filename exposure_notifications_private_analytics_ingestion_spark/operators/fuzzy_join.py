@@ -113,6 +113,18 @@ def _prefix_packed(
     return packed(lt, "l_id"), packed(rt, "r_id")
 
 
+def _candidates(lp: DataFrame, rp: DataFrame) -> DataFrame:
+    """(l_id, r_id) pairs sharing >= 1 prefix trigram — THE candidate set;
+    shared by the scorer and the ``candidate_pairs`` diagnostic so the
+    diagnostic can never drift from the real path."""
+    return (
+        lp.select("l_id", F.explode("pfx").alias("tri"))
+        .join(rp.select("r_id", F.explode("pfx").alias("tri")), "tri")
+        .select("l_id", "r_id")
+        .distinct()
+    )
+
+
 def _prefix_scored(
     lt: DataFrame, rt: DataFrame, threshold: float, max_df: int | None = None
 ) -> DataFrame:
@@ -121,12 +133,7 @@ def _prefix_scored(
     negatives for Jaccard >= threshold (see module docstring; with
     ``max_df`` see the recall note on ``_prefix_packed``)."""
     lp, rp = _prefix_packed(lt, rt, threshold, max_df)
-    cands = (
-        lp.select("l_id", F.explode("pfx").alias("tri"))
-        .join(rp.select("r_id", F.explode("pfx").alias("tri")), "tri")
-        .select("l_id", "r_id")
-        .distinct()
-    )
+    cands = _candidates(lp, rp)
     t = F.lit(threshold)
     return (
         cands.join(lp.select("l_id", F.col("arr").alias("_la"), F.col("n").alias("n_l")), "l_id")
@@ -225,9 +232,4 @@ def candidate_pairs(
     lt = _trigrams(left, left_id, left_text, "l_id")
     rt = _trigrams(right, right_id, right_text, "r_id")
     lp, rp = _prefix_packed(lt, rt, threshold, max_df)
-    return (
-        lp.select("l_id", F.explode("pfx").alias("tri"))
-        .join(rp.select("r_id", F.explode("pfx").alias("tri")), "tri")
-        .select("l_id", "r_id")
-        .distinct()
-    )
+    return _candidates(lp, rp)

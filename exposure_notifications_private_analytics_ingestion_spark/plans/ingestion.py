@@ -417,6 +417,17 @@ def run_ingestion(
         ).strftime("%Y/%m/%d/%H/%M")
         for d in _glob.glob(f"{output_root}/avro/*/*/{ts_path}"):
             _shutil.rmtree(d, ignore_errors=True)
+        # ... and THIS WINDOW's manifest partition with them: the dynamic
+        # overwrite below only replaces (window, destination) partitions
+        # present in the NEW run, so a destination that vanished between
+        # runs would otherwise leave manifest rows pointing at files the
+        # rmtree above just deleted — and the manifest-driven read fast
+        # path (sources/avro_packets.py) would fail on ghosts the
+        # directory scan no longer contains.
+        _shutil.rmtree(
+            f"{output_root}/avro_manifest/window_start_s={opts.window_start_s}",
+            ignore_errors=True,
+        )
 
         manifest = write_batch_containers(
             packets, f"{output_root}/avro", window_start_s=opts.window_start_s

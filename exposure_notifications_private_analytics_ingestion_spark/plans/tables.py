@@ -251,9 +251,11 @@ class TableProvider:
             # one scan of the affected partitions feeds BOTH outputs (kept
             # and the beaten-key set) — without this, each side re-executes
             # the join and the target is scanned twice per merge. The
-            # checkpoint also severs lineage from the files the overwrite
-            # below truncates, so merged no longer needs its own on this
-            # path (merge_upsert skips it when seq_col is set).
+            # checkpoint also severs the TARGET-side lineage from the files
+            # the overwrite below truncates; the source side is severed at
+            # the end of this function, so merged needs no checkpoint of
+            # its own on this path (merge_upsert skips it when seq_col is
+            # set).
             ann = ann.localCheckpoint(eager=True)
             updated = F.coalesce(
                 F.col("_src_seq") >= F.col(seq_col), F.lit(False)
@@ -268,7 +270,17 @@ class TableProvider:
                 .alias("_mu_b")
             )
             dfa = df.alias("_mu_d")
-            return kept, dfa.join(beaten, _key_cond(dfa, beaten), "left_anti")
+            # sever the SOURCE side's lineage too: the caller's df may be
+            # derived from this very table (a correction computed from a
+            # read of the target), and the overwrite below truncates the
+            # files its plan would re-read. This materializes only the
+            # micro-batch (small — it broadcasts elsewhere in this plan),
+            # so together with ann's checkpoint every input to `merged` is
+            # severed without re-materializing the full affected set.
+            eff = dfa.join(
+                beaten, _key_cond(dfa, beaten), "left_anti"
+            ).localCheckpoint(eager=True)
+            return kept, eff
         if partition_col:
             path = self._ident(name)
             jvm = self.spark.sparkContext._jvm
@@ -295,8 +307,9 @@ class TableProvider:
             # cache()+count() still recomputes lost blocks from the source
             # files — which the overwrite below is truncating — silently
             # corrupting the table if an executor dies mid-write. On the
-            # seq_col path _split already checkpointed `ann` (the only
-            # lineage into the overwritten files), so a second eager
+            # seq_col path _split already checkpointed BOTH inputs (`ann`
+            # for the target scan, the effective micro-batch for the
+            # caller's possibly-self-referential source), so a second eager
             # materialization of the full affected set would be pure waste.
             merged = kept.unionByName(df_eff)
             if not seq_col:

@@ -652,11 +652,22 @@ All local-mode efficiencies remain lower bounds on a real fleet: every
 credit pool; a real 4-executor cluster brings 4× of each.
 """
     if p95_recs:
+        # stream_soak emits two shapes: the legacy flat record, and (round
+        # 5) one record per construct nested under "constructs" — flatten
+        # the latter so a p95.json produced by either feeds the same table
+        flat = []
+        for r in p95_recs:
+            if "constructs" in r:
+                for name, c in r["constructs"].items():
+                    flat.append({**c, "cores": f"{r['cores']} ({name})",
+                                 "bucket_by": r.get("bucket_by")})
+            else:
+                flat.append(r)
         p95_tbl = "\n".join(
             f"| {r['cores']} | {r['bucket_by']} | {r['turns_ingested']:,} | "
             f"{r['batch_close_p50_ms']} ms | {r['batch_close_p95_ms']} ms | "
             f"{r.get('p95_budget_ms')} ms |"
-            for r in p95_recs
+            for r in flat
         )
         md += f"""
 ## Batch-close latency (continuous soak, tools/stream_soak.py)
@@ -756,10 +767,19 @@ def protocol(workdir: str, leg: str = "stream", samples: int = 8):
         # none of it, so the ratio reports host physics, not engine
         # scaling). Scaling samples therefore also require the ABSOLUTE
         # stream-canary floor (tools/stream_canary.py, shared with bench).
-        sc = subprocess.run(
-            [sys.executable, f"{REPO}/tools/stream_canary.py"],
-            capture_output=True, text=True, timeout=900,
-        )
+        try:
+            sc = subprocess.run(
+                [sys.executable, f"{REPO}/tools/stream_canary.py"],
+                capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # a canary that cannot even finish inside its budget IS the
+            # degraded verdict — treat it like one instead of aborting the
+            # whole protocol with a traceback
+            sc = subprocess.CompletedProcess(
+                args=[], returncode=1,
+                stdout='STREAM_CANARY {"verdict": "TIMEOUT"}', stderr="",
+            )
         if sc.returncode != 0:
             line = (sc.stdout.strip().splitlines() or ["?"])[-1]
             print(f"stream canary DEGRADED — window unusable for scaling "
