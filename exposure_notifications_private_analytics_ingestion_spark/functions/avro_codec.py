@@ -70,11 +70,39 @@ def _wv(buf: io.BytesIO, n: int) -> None:
 def _rv(buf: io.BytesIO) -> int:
     shift = acc = 0
     while True:
-        b = buf.read(1)[0]
+        chunk = buf.read(1)
+        if not chunk:
+            raise ValueError("truncated varint (unexpected EOF)")
+        b = chunk[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             return _unzz(acc)
         shift += 7
+        # a zigzag-encoded 64-bit long is at most 10 varint bytes; anything
+        # longer is corrupt (and would otherwise build an unbounded int)
+        if shift > 63:
+            raise ValueError("varint overflow (more than 10 bytes)")
+
+
+def _remaining(buf: io.BytesIO) -> int:
+    pos = buf.tell()
+    end = buf.seek(0, io.SEEK_END)
+    buf.seek(pos)
+    return end - pos
+
+
+def _rlen(buf: io.BytesIO, what: str) -> int:
+    """Read a varint that is about to be used as a byte length/count and
+    bound it against the bytes actually left in the stream — a crafted huge
+    (or negative) length must raise ValueError, not attempt a giant ``read``
+    / allocation (the quarantine contract of ``read_container``)."""
+    n = _rv(buf)
+    if n < 0 or n > _remaining(buf):
+        raise ValueError(
+            f"corrupt avro container: {what} length {n} exceeds "
+            f"remaining {_remaining(buf)} bytes"
+        )
+    return n
 
 
 def _wbytes(buf, b: bytes | None):
@@ -151,17 +179,17 @@ def decode_packet_stream(buf: io.BytesIO) -> dict:
     field walk — used by the container reader to consume block bodies)."""
 
     def rstr():
-        return buf.read(_rv(buf)).decode()
+        return buf.read(_rlen(buf, "string")).decode()
 
     def runion():
-        return buf.read(_rv(buf)) if _rv(buf) == 1 else None
+        return buf.read(_rlen(buf, "bytes")) if _rv(buf) == 1 else None
 
     uuid = rstr()
     ekid = runion()
     r_pit = _rv(buf)
     vconf = runion()
     nonce = runion()
-    payload = buf.read(_rv(buf))
+    payload = buf.read(_rlen(buf, "payload"))
     return {
         "uuid": uuid,
         "encryption_key_id": ekid.decode() if ekid is not None else None,
@@ -327,9 +355,13 @@ def _read_container_raising(blob: bytes) -> tuple[dict, list[dict]]:
         if n < 0:  # negative count: abs count then byte size (spec)
             n = -n
             _rv(buf)
+        # each map entry costs >= 2 bytes (two length varints), so a count
+        # beyond the remaining byte budget is corrupt, not just big
+        if n > _remaining(buf):
+            raise ValueError(f"corrupt avro container: metadata count {n}")
         for _ in range(n):
-            key = buf.read(_rv(buf)).decode()
-            meta[key] = buf.read(_rv(buf))
+            key = buf.read(_rlen(buf, "metadata key")).decode()
+            meta[key] = buf.read(_rlen(buf, "metadata value"))
     sync = buf.read(16)
     codec = meta.get("avro.codec", b"null")
     if codec not in (b"null", b""):
@@ -341,7 +373,11 @@ def _read_container_raising(blob: bytes) -> tuple[dict, list[dict]]:
             break
         buf.seek(-1, io.SEEK_CUR)
         count = _rv(buf)
-        size = _rv(buf)
+        size = _rlen(buf, "block")
+        # a decoded record consumes >= 6 bytes (six length/union varints),
+        # so a count above the block's byte size is corrupt
+        if count < 0 or count > size:
+            raise ValueError(f"corrupt avro container: block count {count}")
         body = io.BytesIO(buf.read(size))
         for _ in range(count):
             records.append(decode_packet_stream(body))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import io
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from exposure_notifications_private_analytics_ingestion_spark.functions.avro_codec import (
@@ -182,6 +183,28 @@ def test_read_container_error_contract(junk):
             read_container(candidate)
         except ValueError:
             pass
+
+
+def test_read_container_huge_varint_length_quarantined():
+    """Round-5 falsifying example: a metadata-key length varint decoding to
+    ~2^63 must raise ValueError (quarantine), not leak OverflowError or
+    attempt a giant allocation (VERDICT r5 #1)."""
+    blob = b"Obj\x01" + b"\x02" + b"\x80" * 9 + b"\x02"
+    with pytest.raises(ValueError):
+        read_container(blob)
+
+
+def test_read_container_negative_length_quarantined():
+    """A negative decoded length (zigzag of an odd varint) for a
+    metadata-key read must raise ValueError, never be passed to read()."""
+    # varint 0x01 unzigzags to -1: count=1 entry, then key length -1
+    blob = b"Obj\x01" + b"\x02" + b"\x01" + b"abc"
+    with pytest.raises(ValueError):
+        read_container(blob)
+    # negative block count after valid metadata + sync
+    base = write_container([], sync=container_sync_marker("t"))
+    with pytest.raises(ValueError):
+        read_container(base + b"\x01" + b"\x02" + b"x" + container_sync_marker("t"))
 
 
 @settings(max_examples=100, deadline=None)
