@@ -46,6 +46,10 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # r6: carry the did-anything-change flag INSIDE the round's single
+        # materialization — the old shape ran the propagation join twice per
+        # round (once for the checkpoint, once re-joined against the old
+        # labels just to count changes), doubling every round's work
         updated = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -53,16 +57,12 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
             )
+            .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
             break
     return labels

@@ -189,7 +189,11 @@ def ngram_jaccard_pairs(
             allow_quadratic,
         )
     if candidates is not None:
-        cand = candidates.select("doc_a", "doc_b")
+        # materialize the candidate list once (narrow: two ids per row) —
+        # it feeds the id-prune AND the pair verify below, and without this
+        # the (expensive) candidate generator runs once per consumer branch
+        # (the same reuse hazard clustering.connected_components guards)
+        cand = candidates.select("doc_a", "doc_b").localCheckpoint(eager=True)
         ids = (
             cand.select(F.col("doc_a").alias(id_col))
             .union(cand.select(F.col("doc_b").alias(id_col)))
@@ -201,19 +205,50 @@ def ngram_jaccard_pairs(
         # candidate generator's
         df = df.join(ids, id_col, "left_semi")
     sh = shingles_df(df, n, text, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if candidates is not None:
-        inter = (
-            cand.join(sh.alias("a"), F.col("doc_a") == F.col(f"a.{id_col}"))
-            .join(
-                sh.alias("b"),
-                (F.col("doc_b") == F.col(f"b.{id_col}"))
-                & (F.col("a.shingle") == F.col("b.shingle")),
+        # r6: attach each side's full shingle ARRAY to the pair and count
+        # the intersection per row, instead of joining the exploded shingle
+        # table twice and the sizes table twice more. The old shape
+        # materialized |candidates|·|shingles per doc| rows (243M at sf1.0
+        # for 4.19M candidates) through FOUR pair-table shuffles before the
+        # jaccard filter; this one moves each pair exactly twice, carries
+        # the sizes for free (n_sh == size of the attached array) and does
+        # a per-row array_intersect — same n_inter/n_a/n_b (guide §2.3:
+        # shuffle fewer bytes — the decision needs the SET, not one row per
+        # member).
+        # one row per candidate doc — materialized once, joined twice
+        arrs = sh.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("_sh_arr")
+        ).localCheckpoint(eager=True)
+        # Join strategy picked from the MATERIALIZED dictionary's real row
+        # count (guide §3.1 — size estimates are wrong after aggregation):
+        # broadcasting it keeps the (pairs × attached-array) table out of
+        # BOTH attach shuffles — the second one was moving ~1 KB/pair
+        # (measured 18 s for 4.19M pairs at sf1.0, vs 1.5 s broadcast).
+        # Above the cap (≈ hundreds of MB built) fall back to the
+        # partitioned join, which is the only shape that scales unboundedly.
+        a_side = arrs.select(
+            F.col(id_col).alias("doc_a"), F.col("_sh_arr").alias("_a")
+        )
+        b_side = arrs.select(
+            F.col(id_col).alias("doc_b"), F.col("_sh_arr").alias("_b")
+        )
+        if arrs.count() <= 200_000:
+            a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
+        attached = (
+            cand.join(a_side, "doc_a")
+            .join(b_side, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("_a", "_b")).alias("n_inter"),
+                F.size("_a").alias("n_a"),
+                F.size("_b").alias("n_b"),
             )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("n_inter"))
+            .filter(F.col("n_inter") > 0)
         )
     else:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
             a.join(
@@ -226,12 +261,11 @@ def ngram_jaccard_pairs(
             )
             .agg(F.count("*").alias("n_inter"))
         )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+        sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+        attached = inter.join(sa, "doc_a").join(sb, "doc_b")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        attached.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6

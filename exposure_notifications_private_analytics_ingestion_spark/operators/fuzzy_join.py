@@ -179,9 +179,31 @@ def fuzzy_match(
     ``max_df`` (prefix path only) additionally drops trigrams with document
     frequency above the cap from candidate generation — the web-scale
     stop-trigram front-end; Jaccard values are still exact (full arrays
-    verify), recall bounded as documented on ``_prefix_packed``."""
-    lt = _trigrams(left, left_id, left_text, "l_id")
-    rt = _trigrams(right, right_id, right_text, "r_id")
+    verify), recall bounded as documented on ``_prefix_packed``.
+
+    Plan shape (r6): the similarity math runs over DISTINCT lowercased
+    texts, never rows — Jaccard is a pure function of the two strings, so
+    every duplicate name re-scored at row level is wasted quadratic work
+    (a corpus whose names draw from a small vocabulary turns the row-level
+    trigram join into Σ dup_l·dup_r ≈ n²/|names|² fan-out; measured 1296 s
+    → ~4 s on a 200k-row catalog with 256 distinct names). Rows are
+    re-attached afterwards by an equi-join on the name (the guide-§8
+    decide-on-the-proxy / attach-once discipline). Row ids are assumed
+    unique per row (they are keys in every caller); the best-match
+    tie-break stays exact because the winning row id for a left row is
+    min(right id) over the argmax-Jaccard names, computed name-level."""
+    lmap = left.select(
+        F.col(left_id).alias("_fz_lid"),
+        F.lower(F.col(left_text)).alias("_fz_lname"),
+    )
+    rmap = right.select(
+        F.col(right_id).alias("_fz_rid"),
+        F.lower(F.col(right_text)).alias("_fz_rname"),
+    )
+    lnames = lmap.select("_fz_lname").distinct()
+    rnames = rmap.select("_fz_rname").distinct()
+    lt = _trigrams(lnames, "_fz_lname", "_fz_lname", "l_id")
+    rt = _trigrams(rnames, "_fz_rname", "_fz_rname", "r_id")
     counted = (
         _prefix_scored(lt, rt, threshold, max_df)
         if prefix_filter and threshold > 0
@@ -196,21 +218,39 @@ def fuzzy_match(
     scored = (
         counted.filter(ratio >= threshold)
         .withColumn("jaccard", F.round(ratio, 6))
-    )
-    out = scored.select(
-        F.col("l_id").alias(left_id),
-        F.col("r_id").alias("match_" + right_id),
-        "jaccard",
+        .select("l_id", "r_id", "jaccard")
     )
     if not best_only:
-        return out
-    w = Window.partitionBy(left_id).orderBy(
-        F.col("jaccard").desc(), F.col("match_" + right_id).asc()
+        # expand name-level matches back to row pairs — every (left row,
+        # right row) whose names matched, exactly the row-level result set
+        return (
+            scored.join(lmap, scored["l_id"] == lmap["_fz_lname"])
+            .join(rmap, scored["r_id"] == rmap["_fz_rname"])
+            .select(
+                F.col("_fz_lid").alias(left_id),
+                F.col("_fz_rid").alias("match_" + right_id),
+                "jaccard",
+            )
+        )
+    # name-level best match: row_number over (jaccard desc, r_id asc) at row
+    # level picks, among the max-Jaccard right NAMES, the one holding the
+    # globally smallest right id — i.e. argmin over per-name min ids
+    rmin = rmap.groupBy("_fz_rname").agg(F.min("_fz_rid").alias("_fz_rmin"))
+    w = Window.partitionBy("l_id").orderBy(
+        F.col("jaccard").desc(), F.col("_fz_rmin").asc()
+    )
+    best = (
+        scored.join(rmin, scored["r_id"] == rmin["_fz_rname"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
     )
     return (
-        out.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .drop("rank")
+        best.join(lmap, best["l_id"] == lmap["_fz_lname"])
+        .select(
+            F.col("_fz_lid").alias(left_id),
+            F.col("_fz_rmin").alias("match_" + right_id),
+            "jaccard",
+        )
     )
 
 
@@ -228,8 +268,28 @@ def candidate_pairs(
     would verify, BEFORE the length filter and exact Jaccard. Counting this
     is how a cap is tuned (and how tests/test_fuzzy_scale.py proves
     ``max_df`` shrinks candidates on a hot vocabulary without losing planted
-    matches)."""
-    lt = _trigrams(left, left_id, left_text, "l_id")
-    rt = _trigrams(right, right_id, right_text, "r_id")
+    matches). Mirrors ``fuzzy_match``'s r6 distinct-name front-end (name
+    df, not row df, orders the prefixes) and expands the name-level
+    candidate set back to row-id pairs, so the count reported is exactly
+    the row-pair space the real path would verify."""
+    lmap = left.select(
+        F.col(left_id).alias("_fz_lid"),
+        F.lower(F.col(left_text)).alias("_fz_lname"),
+    )
+    rmap = right.select(
+        F.col(right_id).alias("_fz_rid"),
+        F.lower(F.col(right_text)).alias("_fz_rname"),
+    )
+    lt = _trigrams(lmap.select("_fz_lname").distinct(), "_fz_lname",
+                   "_fz_lname", "l_id")
+    rt = _trigrams(rmap.select("_fz_rname").distinct(), "_fz_rname",
+                   "_fz_rname", "r_id")
     lp, rp = _prefix_packed(lt, rt, threshold, max_df)
-    return _candidates(lp, rp)
+    cands = _candidates(lp, rp)
+    return (
+        cands.join(lmap, cands["l_id"] == lmap["_fz_lname"])
+        .join(rmap, cands["r_id"] == rmap["_fz_rname"])
+        .select(
+            F.col("_fz_lid").alias("l_id"), F.col("_fz_rid").alias("r_id")
+        )
+    )

@@ -243,6 +243,77 @@ def _dot_table(codebook_rows: list, m: int, ks: int) -> list[int]:
     return table
 
 
+def _grouped_pq_adots(
+    enc: DataFrame,
+    group_col: str,
+    id_col: str,
+    table: list[int],
+    m: int,
+    ks: int,
+    rerank: int,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Within-group PQ approximate dot products via NumPy table gathers —
+    the kernel behind ``pq_topk``'s shortlist stage. Emits
+    (query_id, neighbor_id, adot, qn_a, qn_b) for a provable superset of
+    each query's rounded top-``rerank`` candidates (margin contract and
+    exactness argument as in ``similarity._grouped_pair_qdots``; ``adot``
+    sums m int64 table entries — exact)."""
+    import pandas as pd
+
+    from .similarity import _topk_keep_mask
+
+    id_type = dict(enc.dtypes)[id_col]
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, "
+        "adot long, qn_a long, qn_b long"
+    )
+    empty = {
+        "query_id": [], "neighbor_id": [], "adot": [], "qn_a": [], "qn_b": []
+    }
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        tab = np.asarray(table, dtype=np.int64).reshape(m, ks, ks)
+        ids = pdf[id_col].to_numpy()
+        codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # n×m
+        qn = pdf["qn"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        out = []
+        for s in range(0, n, chunk):
+            ca = codes[s : s + chunk]
+            adot = np.zeros((len(ca), n), dtype=np.int64)
+            for sub in range(m):
+                adot += tab[sub][ca[:, sub][:, None], codes[:, sub][None, :]]
+            denom = np.sqrt(qn[s : s + chunk, None] * qn[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = adot / denom
+            cand = ids[s : s + chunk][:, None] != ids[None, :]
+            keep = _topk_keep_mask(cos, cand, rerank)
+            qi, ni = np.nonzero(keep)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": ids[s + qi],
+                        "neighbor_id": ids[ni],
+                        "adot": adot[qi, ni],
+                        "qn_a": qn[s + qi].astype(np.int64),
+                        "qn_b": qn[ni].astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(empty)
+
+    return (
+        enc.select(id_col, "codes", "qn", group_col)
+        .groupBy(group_col)
+        .applyInPandas(score_group, schema=out_schema)
+    )
+
+
 def _approx_qdot(codes_a: Column, codes_b: Column, table: Column, ks: int) -> Column:
     zipped = F.arrays_zip(codes_a.alias("ca"), codes_b.alias("cb"))
     return F.aggregate(
@@ -280,31 +351,31 @@ def pq_topk(
         df, m=m, ks=ks, id_col=id_col, vec_col=vec_col, dims=dims
     )
     cb_rows = codebook.collect()
-    table_lit = F.lit(_dot_table(cb_rows, m, ks))
 
     enc = pq_encode(
         df, cb_rows, m=m, id_col=id_col, vec_col=vec_col, dims=dims,
         extra=[cluster_col],
     )
-    a, b = enc.alias("a"), enc.alias("b")
-    approx = (
-        a.join(
-            b,
-            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .withColumn(
-            "adot", _approx_qdot(F.col("a.codes"), F.col("b.codes"), table_lit, ks)
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.round(
-                F.col("adot")
-                / F.sqrt((F.col("a.qn") * F.col("b.qn")).cast("double")),
-                6,
-            ).alias("approx_cosine"),
-        )
+    # r6: the per-cluster pair join + per-pair element_at chain + full-pair
+    # window is replaced by a grouped NumPy kernel (guide §4.2): table
+    # lookups are m fancy-index gathers per chunk, and each query emits only
+    # the provable superset of its rounded top-``rerank`` shortlist (the
+    # same margin contract as similarity._grouped_pair_qdots). The JVM
+    # recomputes approx_cosine from the emitted exact integer ``adot`` with
+    # the identical round/sqrt expression, so shortlist membership, ties and
+    # everything downstream are bit-equal to the join form (which measured
+    # 168 s at sf1.0 on 40M pairs).
+    from .similarity import _emitted_pair_sim
+
+    emitted = _grouped_pq_adots(
+        enc, cluster_col, id_col, _dot_table(cb_rows, m, ks), m, ks, rerank
+    )
+    approx = emitted.select(
+        "query_id",
+        "neighbor_id",
+        _emitted_pair_sim(
+            F.col("adot"), F.col("qn_a"), F.col("qn_b")
+        ).alias("approx_cosine"),
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("approx_cosine").desc(), F.col("neighbor_id").asc()

@@ -57,6 +57,132 @@ def _pair_sim() -> Column:
     )
 
 
+# rounding to 6 decimals moves a double by < 5e-7 each way, so a pair can
+# only out-rank (or pass a threshold that) another pair's ROUNDED value if
+# its unrounded cosine is within 1e-6 of it; 2e-6 doubles that headroom.
+# Used to prune inside the NumPy kernels WITHOUT owning the exact rounding.
+_ROUND_MARGIN = 2e-6
+
+
+def _emitted_pair_sim(qdot: Column, qn_a: Column, qn_b: Column) -> Column:
+    """The EXACT cosine expression over kernel-emitted integer columns —
+    the identical expression tree ``_pair_sim`` builds, so values (and their
+    HALF_UP rounding) are bit-equal to the join-based path."""
+    return F.round(qdot / F.sqrt((qn_a * qn_b).cast("double")), 6)
+
+
+def _topk_keep_mask(cos, cand_mask, k):
+    """Boolean mask (same shape as ``cos``) of candidates that could still
+    be in the row-wise ROUNDED top-k: everything within ``_ROUND_MARGIN`` of
+    the k-th largest finite candidate cosine. Rows with ≤ k finite
+    candidates keep every candidate (non-finite cosines — zero-norm vectors
+    — become NULL in the JVM and sort last, so they only matter when fewer
+    than k finite candidates exist)."""
+    import numpy as np
+
+    finite = cand_mask & np.isfinite(cos)
+    n_valid = finite.sum(axis=1)
+    keep = cand_mask.copy()
+    deep = n_valid > k  # rows where pruning is provably safe
+    if deep.any() and cos.shape[1] > k:
+        vals = np.where(finite, cos, -np.inf)
+        kth = -np.partition(-vals, k - 1, axis=1)[:, k - 1]
+        pruned = finite & (vals >= kth[:, None] - _ROUND_MARGIN)
+        keep[deep] = pruned[deep]
+    return keep
+
+
+def _grouped_pair_qdots(
+    base: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int | None = None,
+    threshold: float | None = None,
+    lt_only: bool = False,
+    role_col: str | None = None,
+    chunk: int = 1024,
+) -> DataFrame:
+    """Within-group pair dot products via one NumPy matmul per group
+    (guide §4.2: hand whole batches to vectorized native code instead of
+    evaluating an aggregate(zip_with(..)) expression tree per pair — the
+    join-based form materializes Σ|group|² rows through codegen and then
+    windows them, which measured 315 s for 40M pairs at sf1.0).
+
+    Returns (query_id, neighbor_id, qdot, qn_a, qn_b) for a PROVABLE
+    SUPERSET of the pairs that survive the caller's exact rounded top-k /
+    threshold (see ``_ROUND_MARGIN``); integers only — the caller recomputes
+    the cosine with the same JVM expression as the join path, so emitted
+    values, rounding and tie-breaks are bit-identical. All arithmetic here
+    is exact: quantized components ≤ QUANT·dims keep every product and sum
+    below 2^53, so float64 matmul (BLAS) returns exact integers.
+
+    ``role_col``: asymmetric mode — rows with role 1 are queries, role 0
+    are corpus (IVF nprobe>1 probing); default symmetric (every row both).
+    ``lt_only``: emit only id_a < id_b (pair-dedup mode).
+    Exactly one of ``k`` / ``threshold`` must be set."""
+    import pandas as pd
+
+    id_type = dict(base.dtypes)[id_col]
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, "
+        "qdot long, qn_a long, qn_b long"
+    )
+    cols = [id_col, "qv", "qn", group_col] + ([role_col] if role_col else [])
+    empty = {
+        "query_id": [], "neighbor_id": [], "qdot": [], "qn_a": [], "qn_b": []
+    }
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf["qv"].tolist(), dtype=np.float64)
+        qn = pdf["qn"].to_numpy(dtype=np.float64)
+        if role_col is not None:
+            qsel = pdf[role_col].to_numpy() == 1
+            nsel = ~qsel
+        else:
+            qsel = nsel = np.ones(len(pdf), dtype=bool)
+        q_ids, q_mat, q_qn = ids[qsel], mat[qsel], qn[qsel]
+        n_ids, n_mat, n_qn = ids[nsel], mat[nsel], qn[nsel]
+        if len(q_ids) == 0 or len(n_ids) == 0:
+            return pd.DataFrame(empty)
+        out = []
+        for s in range(0, len(q_ids), chunk):
+            cq_ids = q_ids[s : s + chunk]
+            g = q_mat[s : s + chunk] @ n_mat.T  # exact (< 2^53 per entry)
+            denom = np.sqrt(q_qn[s : s + chunk, None] * n_qn[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = g / denom
+            if lt_only:
+                cand = cq_ids[:, None] < n_ids[None, :]
+            else:
+                cand = cq_ids[:, None] != n_ids[None, :]
+            if threshold is not None:
+                keep = cand & (cos >= threshold - _ROUND_MARGIN)
+            else:
+                keep = _topk_keep_mask(cos, cand, k)
+            qi, ni = np.nonzero(keep)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": cq_ids[qi],
+                        "neighbor_id": n_ids[ni],
+                        "qdot": g[qi, ni].astype(np.int64),
+                        "qn_a": q_qn[qi].astype(np.int64),
+                        "qn_b": n_qn[ni].astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(empty)
+
+    return (
+        base.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(score_group, schema=out_schema)
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     k: int = 3,
@@ -166,15 +292,15 @@ def ivf_topk(
     from pyspark.sql import Window
 
     prep = _prep(df, id_col, vec_col, [cluster_col])
-    a, b = prep.alias("a"), prep.alias("b")
     if nprobe <= 1:
-        pairs = a.join(
-            b,
-            (F.col(f"a.{cluster_col}") == F.col(f"b.{cluster_col}"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
+        # r6: per-cluster NumPy matmul kernel replaces the Σ|cluster|² join
+        # + full-pair window (guide §4.2; 315 s → s at sf1.0). The kernel
+        # emits a provable superset of the rounded top-k per query; cosine,
+        # rounding and rank below are the same JVM expressions as before.
+        emitted = _grouped_pair_qdots(prep, cluster_col, id_col, k=k)
     else:
         cent = cluster_centroid_sums(prep, cluster_col)
+        a = prep.alias("a")
         cw = Window.partitionBy(f"a.{id_col}").orderBy(
             F.col("cdot").desc(), F.col(f"c.{cluster_col}").asc()
         )
@@ -187,23 +313,28 @@ def ivf_topk(
                 F.col(f"a.{id_col}"),
                 F.col("a.qv"),
                 F.col("a.qn"),
-                F.col(f"c.{cluster_col}").alias("_probe"),
+                F.col(f"c.{cluster_col}").alias(cluster_col),
+                F.lit(1).alias("_role"),
             )
-            .alias("a")
         )
         # each vector lives in exactly one cluster and probes are distinct
-        # labels per query, so no pair can appear twice
-        pairs = probes.join(
-            b,
-            (F.col("a._probe") == F.col(f"b.{cluster_col}"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        # labels per query, so no pair can appear twice; the union feeds the
+        # kernel each probed cluster's members (role 0) + its probing
+        # queries (role 1), and each group's local top-k superset contains
+        # the global top-k (a global winner ranks ≤ k inside its own group)
+        members = prep.select(
+            id_col, "qv", "qn", cluster_col, F.lit(0).alias("_role")
         )
-    pairs = pairs.withColumn(
-        "qdot", _qdot(F.col("a.qv"), F.col("b.qv"))
-    ).select(
-        F.col(f"a.{id_col}").alias("query_id"),
-        F.col(f"b.{id_col}").alias("neighbor_id"),
-        _pair_sim().alias("cosine"),
+        emitted = _grouped_pair_qdots(
+            members.unionByName(probes), cluster_col, id_col, k=k,
+            role_col="_role",
+        )
+    pairs = emitted.select(
+        "query_id",
+        "neighbor_id",
+        _emitted_pair_sim(
+            F.col("qdot"), F.col("qn_a"), F.col("qn_b")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -257,24 +388,20 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k within LSH sign buckets (recall < 1, collision-bounded cost)."""
+    """ANN top-k within LSH sign buckets (recall < 1, collision-bounded cost).
+
+    r6: the per-bucket pair join + window is replaced by the shared NumPy
+    matmul kernel (same exact-superset contract as ``ivf_topk``)."""
     from pyspark.sql import Window
 
     with_bucket = df.withColumn("bucket", lsh_bucket(F.col(vec_col), dims, planes))
     prep = _prep(with_bucket, id_col, vec_col, ["bucket"])
-    a, b = prep.alias("a"), prep.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
-        .select(
-            F.col(f"a.{id_col}").alias("query_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            _pair_sim().alias("cosine"),
-        )
+    pairs = _grouped_pair_qdots(prep, "bucket", id_col, k=k).select(
+        "query_id",
+        "neighbor_id",
+        _emitted_pair_sim(
+            F.col("qdot"), F.col("qn_a"), F.col("qn_b")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -298,21 +425,22 @@ def cosine_pairs_lsh(
     the same LSH sign bucket, then EXACT cosine ≥ threshold on candidates
     only. Join keys on the bucket — collision-bounded, never all-pairs
     (recall < 1 by construction; raise ``planes``/add rotations for recall).
-    """
+
+    r6: per-bucket NumPy kernel in threshold mode — emits pairs whose
+    unrounded cosine is within ``_ROUND_MARGIN`` of the threshold; the JVM
+    recomputes the exact rounded cosine and applies the real filter."""
     with_bucket = df.withColumn("bucket", lsh_bucket(F.col(vec_col), dims, planes))
     prep = _prep(with_bucket, id_col, vec_col, ["bucket"])
-    a, b = prep.alias("a"), prep.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        _grouped_pair_qdots(
+            prep, "bucket", id_col, threshold=threshold, lt_only=True
         )
-        .withColumn("qdot", _qdot(F.col("a.qv"), F.col("b.qv")))
         .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            _pair_sim().alias("cosine"),
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            _emitted_pair_sim(
+                F.col("qdot"), F.col("qn_a"), F.col("qn_b")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -51,7 +51,9 @@ JAN = 1704067200  # 2024-01-01T00:00:00Z
 MONTH = 31 * 24 * 3600
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, fan_out: bool = True
+) -> DataFrame:
     # Session-robustness: the registry must produce identical results under a
     # vanilla SparkSession (the driver harness does not use our session
     # factory).  Spark 4 infers parquet timestamps as TIMESTAMP_NTZ by
@@ -59,7 +61,19 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # runtime-settable, so pin them on every read.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # Input-skew guard (guide §2.5): a single-file single-row-group table
+    # scans as ONE task, serializing every per-row expression until the
+    # first exchange (at sf1.0 that cost 10-30× on the text-heavy
+    # projections). Fan rows out to the session's parallelism when — and
+    # only when — the scan plans fewer splits than that: derived from the
+    # input, a no-op at scale where the scan already fans out, and filters
+    # still push through the Repartition node to the parquet scan.
+    if fan_out:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def _events_as_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,7 +454,10 @@ SQL_ROLLUP = "SELECT event_type, count(*) AS n FROM events GROUP BY ROLLUP(event
 def q_hot_key_salted_agg(spark, sf_dir):
     """Skew pattern: two-stage salted aggregation ≡ plain groupBy count —
     the oracle certifies the algebraic identity."""
-    ev = _read(spark, sf_dir, "events")
+    # fan_out=False: sum("value") is a fractional-double aggregation straight
+    # off the scan — multiple scan partitions would make the partial-merge
+    # order (and the round(4)-ed sum) run-dependent vs the oracle
+    ev = _read(spark, sf_dir, "events", fan_out=False)
     stage1 = ev.groupBy(
         "user_id", F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("_salt")
     ).agg(F.count("*").alias("c"), F.sum("value").alias("v"))
@@ -534,7 +551,8 @@ def q_top_spenders_per_type(spark, sf_dir):
     tiebreak)."""
     from pyspark.sql import Window
 
-    ev = _read(spark, sf_dir, "events")
+    # fan_out=False: see q_hot_key_salted_agg — double sums off the scan
+    ev = _read(spark, sf_dir, "events", fan_out=False)
     per_user = ev.groupBy("event_type", "user_id").agg(
         F.round(F.sum("value"), 4).alias("total_value")
     )
@@ -580,7 +598,10 @@ FROM events GROUP BY 1
 
 def q_lineitem_pricing_summary(spark, sf_dir):
     """Windowed hash-agg with partial aggregation (TPC-H Q1 shape)."""
-    li = _read(spark, sf_dir, "lineitem")
+    # fan_out=False: sum(l_extendedprice) ~ 1e9 with a 0.01 rounding quantum
+    # — multi-partition partial-merge reordering measurably flips the
+    # rounded value vs the oracle (caught by test_extended_oracle)
+    li = _read(spark, sf_dir, "lineitem", fan_out=False)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -702,7 +723,9 @@ def q_stratified_sample(spark, sf_dir):
     from .operators.sampling import stratified_sample
 
     return stratified_sample(
-        _read(spark, sf_dir, "documents"),
+        # fan_out=False: this op is PINNED zero-exchange (a pure md5-bucket
+        # filter, test_plan_audit) and the filter is cheap per row
+        _read(spark, sf_dir, "documents", fan_out=False),
         "lang",
         {"en": 0.25, "zh": 0.5},
         "doc_id",
