@@ -144,34 +144,92 @@ def pq_train(
         )
     ).collect()
     sub_d = dims // m
-    for _ in range(iters):
-        # assignment is a literal argmin projection (no join, no explode);
-        # the update is ONE hash-agg — per-dimension avg columns with exact
-        # long sums behind them, map-side partial throughout. Collecting the
-        # 128-row codebook each round both feeds the next literal and cuts
-        # the lineage (no localCheckpoint job).
-        cent_lit, codeid_lit = _codebook_lits(rows, m)
-        dists = F.transform(
-            F.element_at(cent_lit, F.col("sub_idx") + 1),
-            lambda cb: _l2(F.col("sv"), cb),
-        )
-        assigned = sub.withColumn("_dists", dists).withColumn(
-            "code", _argmin_code(F.col("_dists"), codeid_lit, F.col("sub_idx"))
-        )
-        rows = (
-            assigned.groupBy("sub_idx", "code")
-            .agg(
-                F.array(
-                    *[
-                        F.round(F.avg(F.element_at(F.col("sv"), j + 1)))
-                        .cast("long")
-                        .alias(f"_c{j}")
-                        for j in range(sub_d)
-                    ]
-                ).alias("centroid")
-            )
-        ).collect()
+
+    # r6: each Lloyd round is ONE mapInPandas partial-aggregation kernel
+    # over the full vectors (guide §4.2) instead of an exploded 16-candidate
+    # literal-argmin expression tree per subvector row — assignment is a
+    # vectorized NumPy distance argmin, the update emits per-task
+    # (sub, code, count, component sums) partials, and one tiny hash-agg
+    # merges them. Exactness is unchanged: squared distances ≤ m·(2·QUANT)²
+    # stay integral in float64, argmin's first-match tie rule over
+    # code-ascending centroids IS min_by's lowest-code rule, component sums
+    # are int64, and the driver-side mean replicates F.round's HALF_UP
+    # (away-from-zero at exact .5; sums < 2^53 make the division's double
+    # equal Spark's).
+    import numpy as np
+    import pandas as pd
+
     schema = "sub_idx INT, code INT, centroid ARRAY<BIGINT>"
+    vecs = prep.select("qv")
+    part_schema = "sub_idx int, code int, cnt long, " + ", ".join(
+        f"s{j} long" for j in range(sub_d)
+    )
+
+    def _round_half_up(x: float) -> int:
+        import math
+
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    for _ in range(iters):
+        per_sub: dict[int, list] = {s: [] for s in range(m)}
+        for r in rows:  # Row objects (seeding/merge) or dicts (later rounds)
+            per_sub[r["sub_idx"]].append(
+                (int(r["code"]), [int(v) for v in r["centroid"]])
+            )
+        cents = [sorted(per_sub[s]) for s in range(m)]
+        code_ids = [np.array([c for c, _ in e], dtype=np.int64) for e in cents]
+        cent_mats = [
+            np.array([v for _, v in e], dtype=np.float64) for e in cents
+        ]
+
+        def partials(batches):
+            import numpy as np_
+
+            for pdf in batches:
+                v = np_.array(pdf["qv"].tolist(), dtype=np.float64).reshape(
+                    -1, m, sub_d
+                )
+                out = {
+                    "sub_idx": [], "code": [], "cnt": [],
+                    **{f"s{j}": [] for j in range(sub_d)},
+                }
+                for s in range(m):
+                    sv = v[:, s, :]
+                    d = ((sv[:, None, :] - cent_mats[s][None, :, :]) ** 2).sum(
+                        -1
+                    )
+                    codes = code_ids[s][d.argmin(axis=1)]
+                    uniq = np_.unique(codes)
+                    sv_i = sv.astype(np_.int64)
+                    for c in uniq:
+                        mask = codes == c
+                        out["sub_idx"].append(s)
+                        out["code"].append(int(c))
+                        out["cnt"].append(int(mask.sum()))
+                        ssum = sv_i[mask].sum(axis=0)
+                        for j in range(sub_d):
+                            out[f"s{j}"].append(int(ssum[j]))
+                yield pd.DataFrame(out)
+
+        merged = (
+            vecs.mapInPandas(partials, schema=part_schema)
+            .groupBy("sub_idx", "code")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[F.sum(f"s{j}").alias(f"s{j}") for j in range(sub_d)],
+            )
+            .collect()
+        )
+        rows = [
+            {
+                "sub_idx": r["sub_idx"],
+                "code": r["code"],
+                "centroid": [
+                    _round_half_up(r[f"s{j}"] / r["cnt"]) for j in range(sub_d)
+                ],
+            }
+            for r in merged
+        ]
     return df.sparkSession.createDataFrame(
         sorted([(r["sub_idx"], r["code"], list(r["centroid"])) for r in rows]),
         schema,

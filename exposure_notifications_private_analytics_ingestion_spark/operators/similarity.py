@@ -380,6 +380,50 @@ def lsh_bucket(vec_col: Column, dims: int, planes: int = 16) -> Column:
     return bucket
 
 
+def _prep_np_with_bucket(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    planes: int,
+) -> DataFrame:
+    """(id, qv, qn, bucket) in ONE ``mapInPandas`` pass — the NumPy twin of
+    ``_prep`` + ``lsh_bucket`` (guide §4.2: the JVM form evaluates
+    ``planes`` aggregate(zip_with(..)) trees per row). Exactness: the
+    source embeddings are float32, so x·1000 is an exact float64 product
+    (24+10 mantissa bits), ``copysign(floor(|v|+0.5), v)`` IS F.round's
+    HALF_UP on those exact values, and every dot/norm stays below 2^53."""
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    ws = plane_weights(dims, planes)
+    schema = f"{id_col} {id_type}, qv array<bigint>, qn long, bucket long"
+
+    def prep_batches(batches):
+        import numpy as np
+
+        w = np.array(ws, dtype=np.float64)  # planes × dims, small odd ints
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64) * QUANT
+            v = np.copysign(np.floor(np.abs(x) + 0.5), x)
+            qn = (v * v).sum(axis=1)
+            dots = v @ w.T  # n × planes, exact
+            bucket = (
+                (dots > 0).astype(np.int64)
+                << np.arange(w.shape[0], dtype=np.int64)
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "qv": list(v.astype(np.int64)),
+                    "qn": qn.astype(np.int64),
+                    "bucket": bucket.astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(prep_batches, schema=schema)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     k: int = 3,
@@ -391,11 +435,11 @@ def lsh_ann_topk(
     """ANN top-k within LSH sign buckets (recall < 1, collision-bounded cost).
 
     r6: the per-bucket pair join + window is replaced by the shared NumPy
-    matmul kernel (same exact-superset contract as ``ivf_topk``)."""
+    matmul kernel (same exact-superset contract as ``ivf_topk``), and
+    quantize/norm/bucket are one Arrow pass (``_prep_np_with_bucket``)."""
     from pyspark.sql import Window
 
-    with_bucket = df.withColumn("bucket", lsh_bucket(F.col(vec_col), dims, planes))
-    prep = _prep(with_bucket, id_col, vec_col, ["bucket"])
+    prep = _prep_np_with_bucket(df, id_col, vec_col, dims, planes)
     pairs = _grouped_pair_qdots(prep, "bucket", id_col, k=k).select(
         "query_id",
         "neighbor_id",
@@ -428,9 +472,9 @@ def cosine_pairs_lsh(
 
     r6: per-bucket NumPy kernel in threshold mode — emits pairs whose
     unrounded cosine is within ``_ROUND_MARGIN`` of the threshold; the JVM
-    recomputes the exact rounded cosine and applies the real filter."""
-    with_bucket = df.withColumn("bucket", lsh_bucket(F.col(vec_col), dims, planes))
-    prep = _prep(with_bucket, id_col, vec_col, ["bucket"])
+    recomputes the exact rounded cosine and applies the real filter.
+    Quantize/norm/bucket are one Arrow pass (``_prep_np_with_bucket``)."""
+    prep = _prep_np_with_bucket(df, id_col, vec_col, dims, planes)
     return (
         _grouped_pair_qdots(
             prep, "bucket", id_col, threshold=threshold, lt_only=True

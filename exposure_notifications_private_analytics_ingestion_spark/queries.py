@@ -257,17 +257,31 @@ def q_batch_assembly_stateful(spark, sf_dir):
     turns = _events_as_turns(spark, sf_dir)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
-        pdf["batch_ordinal"] = (pdf.index // BATCH).astype("int32")
-        g = pdf.groupby("batch_ordinal", as_index=False).agg(
-            user_id=("conv_id", "first"),
-            n_events=("turn_idx", "size"),
-            min_event_id=("turn_idx", "min"),
-            max_event_id=("turn_idx", "max"),
-        )
-        return g[["user_id", "batch_ordinal", "n_events", "min_event_id", "max_event_id"]]
+        # one group == one conversation; sorted chunking means chunk j's
+        # min/max are its first/last elements — pure NumPy, no pandas
+        # sort_values+groupby machinery per group (guide §4.2)
+        import numpy as np
 
-    return turns.groupBy("conv_id").applyInPandas(
+        t = np.sort(pdf["turn_idx"].to_numpy())
+        n = len(t)
+        nb = (n + BATCH - 1) // BATCH
+        starts = np.arange(nb, dtype=np.int64) * BATCH
+        ends = np.minimum(starts + BATCH, n)
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(pdf["conv_id"].iloc[0], nb),
+                "batch_ordinal": np.arange(nb, dtype="int32"),
+                "n_events": (ends - starts).astype("int64"),
+                "min_event_id": t[starts].astype("int32"),
+                "max_event_id": t[ends - 1].astype("int32"),
+            }
+        )
+
+    # project to the two columns the state function reads BEFORE the
+    # group-shuffle (guide §4.1: Spark cannot see which columns an opaque
+    # pandas function touches, so an unprojected input ships — and Arrow-
+    # converts — every turn column)
+    return turns.select("conv_id", "turn_idx").groupBy("conv_id").applyInPandas(
         assemble,
         schema="user_id string, batch_ordinal int, n_events long, "
         "min_event_id int, max_event_id int",
@@ -331,7 +345,9 @@ def q_batch_assembly_bucketed(spark, sf_dir):
         return g[["user_id", "batch_ordinal", "n_events",
                   "min_event_id", "max_event_id"]]
 
-    bucketed = turns.withColumn(
+    # project to the columns _ingest_sorted consumes before the bucket
+    # shuffle (guide §4.1) — role/tool never reach the state core
+    bucketed = turns.select("conv_id", "turn_idx", "ts", "text").withColumn(
         "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(16))
     )
     return bucketed.groupBy("_bucket").applyInPandas(
