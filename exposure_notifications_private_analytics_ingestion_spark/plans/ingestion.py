@@ -432,12 +432,19 @@ def run_ingestion(
         manifest = write_batch_containers(
             packets, f"{output_root}/avro", window_start_s=opts.window_start_s
         ).withColumn("window_start_s", F.lit(opts.window_start_s))
-        _write_triplet_leg(
-            manifest,
-            f"{output_root}/avro_manifest",
-            is_empty,
-            opts.window_start_s,
-        )
+        # ADVICE r5 #1: an empty window must NOT take the empty-leg path for
+        # the manifest — that path overwrites the WHOLE directory with one
+        # empty unpartitioned file, and the manifest-driven read fast path
+        # would then silently hide every EARLIER window's (still on-disk)
+        # containers. This window's partition was already cleared by the
+        # rmtree above; an empty window simply contributes no manifest rows.
+        if not is_empty:
+            _write_triplet_leg(
+                manifest,
+                f"{output_root}/avro_manifest",
+                is_empty,
+                opts.window_start_s,
+            )
     headers.unpersist()
     packets.unpersist()
     stats_rows = counters.collect()

@@ -52,7 +52,7 @@ MONTH = 31 * 24 * 3600
 
 
 def _read(
-    spark: SparkSession, sf_dir: str, table: str, fan_out: bool = True
+    spark: SparkSession, sf_dir: str, table: str, fan_out: bool = False
 ) -> DataFrame:
     # Session-robustness: the registry must produce identical results under a
     # vanilla SparkSession (the driver harness does not use our session
@@ -64,11 +64,17 @@ def _read(
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # Input-skew guard (guide §2.5): a single-file single-row-group table
     # scans as ONE task, serializing every per-row expression until the
-    # first exchange (at sf1.0 that cost 10-30× on the text-heavy
-    # projections). Fan rows out to the session's parallelism when — and
-    # only when — the scan plans fewer splits than that: derived from the
-    # input, a no-op at scale where the scan already fans out, and filters
-    # still push through the Repartition node to the parquet scan.
+    # first exchange (at sf1.0 that cost 3-20× on the text-heavy
+    # projections and every mapInPandas fed straight from the scan). Fan
+    # rows out to the session's parallelism when — and only when — the scan
+    # plans fewer splits than that: derived from the input, a no-op at
+    # scale where the scan already fans out; filters still push through
+    # the Repartition node to the parquet scan. OPT-IN per query: an
+    # interleaved A/B over all 89 bench legs at sf1.0 showed the extra
+    # narrow exchange LOSES on queries whose pre-exchange work is a cheap
+    # projection/aggregation (2-3× on the trivial-agg family) and wins
+    # 3-20× exactly where per-row work is heavy (text/codec/python
+    # kernels) — so the default is off and the heavy family opts in.
     if fan_out:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
@@ -76,8 +82,10 @@ def _read(
     return df
 
 
-def _events_as_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
+def _events_as_turns(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
+    ev = _read(spark, sf_dir, "events", fan_out=fan_out)
     return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
@@ -254,7 +262,7 @@ def q_batch_assembly_stateful(spark, sf_dir):
     assembler) — the oracle doubles as an equivalence proof."""
     import pandas as pd
 
-    turns = _events_as_turns(spark, sf_dir)
+    turns = _events_as_turns(spark, sf_dir, fan_out=True)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         # one group == one conversation; sorted chunking means chunk j's
@@ -646,7 +654,7 @@ GROUP BY l_returnflag, l_linestatus
 # ------------------------------------------------------- documents corpus
 
 def q_token_count(spark, sf_dir):
-    return token_count(_read(spark, sf_dir, "documents"))
+    return token_count(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 SQL_TOKEN_COUNT = """
@@ -658,7 +666,7 @@ FROM documents
 
 
 def q_quality_score(spark, sf_dir):
-    return quality_score(_read(spark, sf_dir, "documents"))
+    return quality_score(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 SQL_QUALITY = f"""
@@ -674,7 +682,7 @@ FROM d
 
 
 def q_lang_id(spark, sf_dir):
-    return lang_id(_read(spark, sf_dir, "documents"))
+    return lang_id(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 def _sql_lang_id() -> str:
@@ -697,7 +705,7 @@ SELECT doc_id, {', '.join('score_' + k for k in langs)}, {pick} AS lang_pred FRO
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     docs = docs.filter(F.size(F.split("text", " ")) >= 3)
     return fingerprint(docs)
 
@@ -717,7 +725,7 @@ FROM s GROUP BY doc_id, fp
 def q_ngram_doc_frequency(spark, sf_dir):
     from .operators.text_analysis import ngram_doc_frequency
 
-    return ngram_doc_frequency(_read(spark, sf_dir, "documents"), n=2, k=20)
+    return ngram_doc_frequency(_read(spark, sf_dir, "documents", fan_out=True), n=2, k=20)
 
 
 SQL_NGRAM_DOC_FREQ = """
@@ -794,7 +802,7 @@ def q_span_dedup(spark, sf_dir):
     reassembled from their surviving spans."""
     from .operators.doc_dedup import span_dedup
 
-    return span_dedup(_read(spark, sf_dir, "documents"), span_words=10)
+    return span_dedup(_read(spark, sf_dir, "documents", fan_out=True), span_words=10)
 
 
 SQL_SPAN_DEDUP = """
@@ -822,7 +830,7 @@ FROM m GROUP BY doc_id
 def q_corpus_stats_by_lang(spark, sf_dir):
     from .operators.text_analysis import corpus_stats_by_lang
 
-    return corpus_stats_by_lang(_read(spark, sf_dir, "documents"))
+    return corpus_stats_by_lang(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 def _sql_corpus_stats() -> str:
@@ -853,7 +861,7 @@ FROM p GROUP BY 1
 def q_length_percentiles(spark, sf_dir):
     from .operators.text_analysis import length_percentiles
 
-    return length_percentiles(_read(spark, sf_dir, "documents"))
+    return length_percentiles(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 SQL_LENGTH_PERCENTILES = """
@@ -878,7 +886,7 @@ FROM documents GROUP BY 1
 
 def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), k=4, bands=4, n=3
+        _read(spark, sf_dir, "documents", fan_out=True), k=4, bands=4, n=3
     )
 
 
@@ -902,7 +910,7 @@ GROUP BY 1, 2
 
 
 def q_simhash(spark, sf_dir):
-    return simhash(_read(spark, sf_dir, "documents"), bits=16, n=1)
+    return simhash(_read(spark, sf_dir, "documents", fan_out=True), bits=16, n=1)
 
 
 def _sql_simhash(bits: int = 16) -> str:
@@ -967,7 +975,7 @@ def q_near_dup_verified_components(spark, sf_dir):
     from .operators.doc_dedup import near_dup_verified_pairs
 
     pairs = near_dup_verified_pairs(
-        _read(spark, sf_dir, "documents"), k=4, bands=4, n=3, threshold=0.05
+        _read(spark, sf_dir, "documents", fan_out=True), k=4, bands=4, n=3, threshold=0.05
     )
     return connected_components(pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1082,12 +1090,12 @@ def q_cosine_near_dup_lsh(spark, sf_dir):
     from .operators.similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(
-        _read(spark, sf_dir, "embeddings"), threshold=0.35, dims=64, planes=8
+        _read(spark, sf_dir, "embeddings", fan_out=True), threshold=0.35, dims=64, planes=8
     )
 
 
 def q_ivf_topk(spark, sf_dir):
-    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=3)
+    return ivf_topk(_read(spark, sf_dir, "embeddings", fan_out=True), k=3)
 
 
 SQL_IVF_TOPK = f"""
@@ -1102,7 +1110,7 @@ SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
 
 
 def q_ivf_topk_nprobe2(spark, sf_dir):
-    return ivf_topk(_read(spark, sf_dir, "embeddings"), k=3, nprobe=2)
+    return ivf_topk(_read(spark, sf_dir, "embeddings", fan_out=True), k=3, nprobe=2)
 
 
 # centroid = per-cluster element-wise SUM of quantized vectors (exact int64,
@@ -1135,7 +1143,7 @@ SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
 
 
 def q_lsh_ann_topk(spark, sf_dir):
-    return lsh_ann_topk(_read(spark, sf_dir, "embeddings"), k=3, dims=64, planes=8)
+    return lsh_ann_topk(_read(spark, sf_dir, "embeddings", fan_out=True), k=3, dims=64, planes=8)
 
 
 def _lsh_bucket_sql(dims: int = 64, planes: int = 8) -> str:
@@ -1179,7 +1187,7 @@ def q_multimodal_features(spark, sf_dir):
     # strict=True: every fixture byte string is a real PNG / JPEG header, so
     # the kernel must DECODE them (a fallback row here would hash-mismatch
     # the oracle's predicted dimensions).
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return extract_features(attach_media(docs), strict=True)
 
 
@@ -1202,7 +1210,7 @@ def q_audio_features(spark, sf_dir):
     # strict=True: every fixture is a real RIFF/WAVE PCM file, so the chunk
     # walker must parse fmt + data (fallback rows would hash-mismatch the
     # oracle's predicted rate/frame math). See multimodal._audio_params.
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return extract_audio_features(attach_audio(docs), strict=True)
 
 
@@ -1247,7 +1255,7 @@ def q_video_frame_samples(spark, sf_dir):
     # MP4 box walk (mvhd/tkhd) then a pure-JVM sampling schedule: one row
     # per (doc_id, sample_ms) at 1 Hz over the parsed duration. See
     # multimodal._video_params for the oracle-predictable fixture math.
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     feats = extract_video_features(attach_video(docs), strict=True)
     # keep_cols rides the dims through the explode — one narrow pass, no
     # self-join re-decoding the features (0 exchanges)
@@ -1275,7 +1283,7 @@ FROM p, LATERAL (
 # ------------------------------------------------------- temporal joins
 
 def _signup_split(spark, sf_dir):
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events", fan_out=True)
     left = ev.filter(F.col("event_type") != "signup").select(
         "event_id", "user_id", "ts"
     )
@@ -1485,7 +1493,7 @@ def q_repetition_stats(spark, sf_dir):
     top-word mass)."""
     from .operators.text_analysis import repetition_stats
 
-    return repetition_stats(_read(spark, sf_dir, "documents"))
+    return repetition_stats(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 SQL_REPETITION_STATS = """
@@ -1523,7 +1531,7 @@ def q_time_bounded_join(spark, sf_dir):
     same rows, so this oracle gates the join logic for both."""
     from .streaming.joins import time_bounded_stream_join
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events", fan_out=True)
     turns = ev.filter(F.col("event_type") != "signup").select(
         "event_id", F.col("user_id").alias("conv_id"), "ts"
     )
@@ -1561,7 +1569,7 @@ def q_attested_turn_counts(spark, sf_dir):
     join — the chained-stateful-operator construct, oracle-gated here."""
     from .streaming.joins import attested_turn_counts_stream
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events", fan_out=True)
     turns = ev.filter(F.col("event_type") != "signup").select(
         F.col("user_id").alias("conv_id"), "ts"
     )
@@ -1861,7 +1869,7 @@ def q_contamination_check(spark, sf_dir):
     distinct 5-gram shingles appearing anywhere in the benchmark."""
     from .operators.contamination import contamination_check
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     bench = docs.filter(F.col("doc_id") % _CONTAM_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _CONTAM_MOD != 0)
     return contamination_check(
@@ -1897,7 +1905,7 @@ def q_pii_scrub(spark, sf_dir):
     counts and the md5 of the redacted text."""
     from .operators.text_analysis import pii_scrub
 
-    return pii_scrub(_read(spark, sf_dir, "documents")).withColumn(
+    return pii_scrub(_read(spark, sf_dir, "documents", fan_out=True)).withColumn(
         "redacted_len", F.col("redacted_len").cast("long")
     )
 
@@ -2001,7 +2009,7 @@ def q_incremental_dedup(spark, sf_dir):
 
     from .operators.corpus_index import build_corpus_index, incremental_dedup
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     idx = tempfile.mkdtemp(prefix="enpa-corpus-idx-")
@@ -2411,7 +2419,7 @@ def q_normalize_text(spark, sf_dir):
     # pins the full normalized text for the oracle
     from .operators.text_analysis import normalize_text
 
-    return normalize_text(_read(spark, sf_dir, "documents"))
+    return normalize_text(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 SQL_NORMALIZE_TEXT = r"""
@@ -2528,7 +2536,7 @@ def q_pq_topk(spark, sf_dir):
     # exact-scoring ivf_topk, re-rank scores exactly equal exact cosines).
     from .operators.pq import pq_topk
 
-    return pq_topk(_read(spark, sf_dir, "embeddings"), k=3)
+    return pq_topk(_read(spark, sf_dir, "embeddings", fan_out=True), k=3)
 
 
 def q_lm_quality(spark, sf_dir):
@@ -2539,7 +2547,7 @@ def q_lm_quality(spark, sf_dir):
     # repartition determinism), not a DuckDB value hash.
     from .operators.lm_score import lm_quality_scores
 
-    return lm_quality_scores(_read(spark, sf_dir, "documents"))
+    return lm_quality_scores(_read(spark, sf_dir, "documents", fan_out=True))
 
 
 def approx_registry() -> dict[str, tuple]:

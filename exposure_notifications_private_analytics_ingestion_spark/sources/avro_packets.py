@@ -66,7 +66,7 @@ def read_packet_containers(
         cand = os.path.join(os.path.dirname(path.rstrip("/")), "avro_manifest")
         if os.path.isdir(cand):
             manifest = cand
-    if manifest is not None:
+    if manifest is not None and _manifest_covers(spark, manifest, path):
         return _read_via_manifest(spark, manifest)
 
     def _strip_scheme(p: str) -> str:
@@ -144,6 +144,28 @@ def read_packet_containers(
             yield pd.DataFrame(out)
 
     return files.mapInPandas(decode, schema=READ_SCHEMA)
+
+
+def _manifest_covers(spark: SparkSession, manifest: str, path: str) -> bool:
+    """ADVICE r5 #2 guard: the manifest stores writer-side absolute paths
+    and, before this check, auto-engaged while IGNORING ``path`` — a
+    container tree copied or moved together with its manifest either failed
+    on the stale paths or silently decoded the ORIGINAL tree. Take the fast
+    path only when the manifest actually describes files under the
+    requested root (one driver-side sample row — the writer emits every
+    file under one root, so a single row witnesses the root); an empty or
+    foreign manifest falls back to the directory scan, which is always
+    correct."""
+    try:
+        first = (
+            spark.read.parquet(manifest).select("path").limit(1).collect()
+        )
+    except Exception:
+        return False
+    if not first:
+        return False
+    root = os.path.realpath(path.rstrip("/"))
+    return os.path.realpath(str(first[0]["path"])).startswith(root + os.sep)
 
 
 def _read_via_manifest(spark: SparkSession, manifest: str) -> DataFrame:
