@@ -216,9 +216,29 @@ def ngram_jaccard_pairs(
         # a per-row array_intersect — same n_inter/n_a/n_b (guide §2.3:
         # shuffle fewer bytes — the decision needs the SET, not one row per
         # member).
+        #
+        # r6b: intersect INT64-encoded shingles, not the raw ~20-byte
+        # strings — array_intersect hashes/compares every element, and a
+        # long is ~3× cheaper (measured 11.2 → 3.4 s for the 3.78M-pair
+        # attach at 10× scale). n_inter is invariant under ANY injective
+        # relabeling of shingles, so xxhash64 is exact AS LONG AS it is
+        # injective on this corpus's distinct shingles — which the one tiny
+        # guard aggregate PROVES per run (count(distinct shingle) ==
+        # count(distinct hash)); on the astronomically-rare collision
+        # (expected only at ≥10^9 distinct shingles) we fall back to the
+        # byte-exact string arrays, so results never depend on hash luck.
+        use_hash = (
+            sh.agg(
+                (
+                    F.countDistinct("shingle")
+                    == F.countDistinct(F.xxhash64("shingle"))
+                ).alias("ok")
+            ).collect()[0]["ok"]
+        )
+        elem = F.xxhash64("shingle") if use_hash else F.col("shingle")
         # one row per candidate doc — materialized once, joined twice
         arrs = sh.groupBy(id_col).agg(
-            F.collect_list("shingle").alias("_sh_arr")
+            F.collect_list(elem).alias("_sh_arr")
         ).localCheckpoint(eager=True)
         # Join strategy picked from the MATERIALIZED dictionary's real row
         # count (guide §3.1 — size estimates are wrong after aggregation):
@@ -235,17 +255,23 @@ def ngram_jaccard_pairs(
         )
         if arrs.count() <= 200_000:
             a_side, b_side = F.broadcast(a_side), F.broadcast(b_side)
-        attached = (
-            cand.join(a_side, "doc_a")
-            .join(b_side, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.size(F.array_intersect("_a", "_b")).alias("n_inter"),
-                F.size("_a").alias("n_a"),
-                F.size("_b").alias("n_b"),
-            )
-            .filter(F.col("n_inter") > 0)
+        scored = cand.join(a_side, "doc_a").join(b_side, "doc_b").select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_a", "_b")).alias("n_inter"),
+            F.size("_a").alias("n_a"),
+            F.size("_b").alias("n_b"),
+        )
+        # r6b: one narrow exchange between the intersect projection and the
+        # jaccard filter. Without it Catalyst pushes the alias-substituted
+        # jaccard predicate (and the n_inter > 0 filter) BELOW the
+        # projection, so array_intersect is evaluated 2-3× per pair
+        # (measured: the fused form cost ~2.5× the single-evaluation
+        # attach). The exchange moves 5 ints per pair — the same width the
+        # old four-shuffle shape moved four times — and everything
+        # downstream binds to the materialized n_inter.
+        attached = scored.repartition("doc_a", "doc_b").filter(
+            F.col("n_inter") > 0
         )
     else:
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -1,0 +1,83 @@
+"""Round-6 optimization-equivalence pins: the verify/CC internals changed
+(int-encoded shingle intersect + barrier; size-gated driver union-find), so
+each fast path is checked value-equal to the path it replaced."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from exposure_notifications_private_analytics_ingestion_spark.operators.clustering import (
+    connected_components,
+)
+from exposure_notifications_private_analytics_ingestion_spark.operators.doc_dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+def _random_pairs(n_nodes=200, n_edges=300, seed=7):
+    rng = random.Random(seed)
+    return sorted(
+        {
+            tuple(sorted(rng.sample(range(n_nodes), 2)))
+            for _ in range(n_edges)
+        }
+    )
+
+
+def test_cc_fast_path_equals_distributed_loop(spark):
+    pairs = spark.createDataFrame(
+        _random_pairs(), "doc_a long, doc_b long"
+    )
+    fast = connected_components(pairs)  # small graph → union-find
+    slow = connected_components(pairs, small_graph_max=0)  # force the loop
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+
+
+def test_cc_string_ids_keep_distributed_loop(spark):
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    out = sorted(map(tuple, connected_components(pairs).collect()))
+    assert out == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
+
+
+def test_verify_hash_encode_matches_string_arrays(spark, monkeypatch):
+    """The xxhash64 shingle encoding must produce the exact same verified
+    pairs as the string-array fallback (n_inter is invariant under the
+    injective relabeling the guard certifies)."""
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+            for i in range(120)
+        ],
+        "doc_id long, text string",
+    )
+    cands = minhash_lsh_pairs(docs, k=4, bands=4, n=3)
+    hashed = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05, candidates=cands
+    ).collect()
+
+    # force the string fallback by making the injectivity guard fail
+    import exposure_notifications_private_analytics_ingestion_spark.operators.doc_dedup as dd
+
+    real_xxhash64 = F.xxhash64
+    monkeypatch.setattr(
+        dd.F, "xxhash64", lambda c: F.lit(0), raising=True
+    )
+    try:
+        fallback = ngram_jaccard_pairs(
+            docs, n=3, threshold=0.05, candidates=cands
+        ).collect()
+    finally:
+        monkeypatch.setattr(dd.F, "xxhash64", real_xxhash64, raising=True)
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    assert sorted(map(tuple, hashed)) == sorted(map(tuple, fallback))
+    assert len({key(r) for r in hashed}) == len(hashed)
