@@ -36,11 +36,12 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def shingles_df(
+def shingle_arrays(
     df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document (docs shorter than n words
-    are dropped — they carry no n-shingle).
+    """(id, sh_arr): the DISTINCT word n-gram shingles per document as one
+    array row (docs shorter than n words are dropped — they carry no
+    n-shingle). Zero-shuffle: everything is row-local projection work.
 
     The word array is MATERIALIZED once per row before the window transform:
     codegen does not common-subexpression-eliminate across a filter + a
@@ -49,8 +50,42 @@ def shingles_df(
     ``fingerprint`` — ~10× at sf0.1). Feeds every shingle consumer: MinHash/
     LSH, Jaccard verify, contamination, the incremental corpus index."""
     w = F.col("_sh_ws")
+    # the upper bound is clamped to ≥1 so the expression is TOTAL: the
+    # optimizer may evaluate it on rows the size-filter later drops
+    # (InferFiltersFromGenerate derives a size(sh_arr) > 0 predicate from
+    # the exploded form, and predicate CSE evaluates the transform before
+    # the short-circuiting size >= n conjunct), and an unclamped
+    # sequence(1, size-(n-1)) runs DESCENDING through index 0 on short
+    # docs. Rows passing the filter see an unchanged bound.
     sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(w, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), words_col(text).alias("_sh_ws"))
+        .filter(F.size(w) >= n)
+        .select(F.col(id_col), F.array_distinct(sh).alias("sh_arr"))
+    )
+
+
+def shingles_df(
+    df: DataFrame, n: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded twin of ``shingle_arrays`` — one (id, shingle) row per
+    distinct shingle per document.
+
+    Deliberately NOT ``shingle_arrays(...).select(explode(...))``: when the
+    generator input is a plain column, InferFiltersFromGenerate derives a
+    ``size(sh_arr) > 0`` predicate whose codegen CSE re-evaluates the whole
+    shingle transform per row BEFORE the short-circuiting size filter
+    (measured 1.8 → 52 s on contamination_check at 10× scale). With the
+    expression inline in the generator the rule does not fire and the
+    transform runs exactly once."""
+    w = F.col("_sh_ws")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(
             " ", *[F.try_element_at(w, i + F.lit(j)) for j in range(n)]
         ),
@@ -65,7 +100,9 @@ def shingles_df(
 def minhash_signatures(
     shingled: DataFrame, k: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
-    """k MinHash components in ONE grouped aggregation (single shuffle)."""
+    """k MinHash components in ONE grouped aggregation (single shuffle).
+    Kept for pre-exploded inputs; ``band_signatures`` uses the zero-shuffle
+    array form instead."""
     aggs = [
         F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(
             f"mh_{i}"
@@ -73,6 +110,27 @@ def minhash_signatures(
         for i in range(k)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_from_arrays(arrs: DataFrame, k: int, id_col: str) -> DataFrame:
+    """r6b: MinHash per row from the shingle ARRAY — ``array_min`` over the
+    per-element md5s — instead of explode → groupBy(id).agg(k mins). Same
+    values (min over the same element set, duplicates cannot change a min),
+    but ZERO shuffle where the exploded form moved every shingle occurrence
+    through an exchange (3.3M rows at 10× scale, on four declared query
+    paths: lsh pairs, verified CC, and both corpus-index legs)."""
+    return arrs.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh_arr"),
+                    lambda s: F.md5(F.concat_ws("#", s, F.lit(str(i)))),
+                )
+            ).alias(f"mh_{i}")
+            for i in range(k)
+        ],
+    )
 
 
 def band_signatures(
@@ -87,7 +145,7 @@ def band_signatures(
     join key for both the self-join (``minhash_lsh_pairs``) and the
     persisted-index batch join (``corpus_index.incremental_dedup``)."""
     rows = k // bands
-    sig = minhash_signatures(shingles_df(df, n, text, id_col), k, id_col)
+    sig = _minhash_from_arrays(shingle_arrays(df, n, text, id_col), k, id_col)
     band_structs = F.array(
         *[
             F.struct(
@@ -204,7 +262,6 @@ def ngram_jaccard_pairs(
         # candidate documents — the one full-corpus shingle pass is the
         # candidate generator's
         df = df.join(ids, id_col, "left_semi")
-    sh = shingles_df(df, n, text, id_col)
     if candidates is not None:
         # r6: attach each side's full shingle ARRAY to the pair and count
         # the intersection per row, instead of joining the exploded shingle
@@ -227,19 +284,38 @@ def ngram_jaccard_pairs(
         # count(distinct hash)); on the astronomically-rare collision
         # (expected only at ≥10^9 distinct shingles) we fall back to the
         # byte-exact string arrays, so results never depend on hash luck.
-        use_hash = (
-            sh.agg(
-                (
-                    F.countDistinct("shingle")
-                    == F.countDistinct(F.xxhash64("shingle"))
-                ).alias("ok")
-            ).collect()[0]["ok"]
-        )
-        elem = F.xxhash64("shingle") if use_hash else F.col("shingle")
-        # one row per candidate doc — materialized once, joined twice
-        arrs = sh.groupBy(id_col).agg(
-            F.collect_list(elem).alias("_sh_arr")
+        # r6b: the per-doc arrays come straight from ``shingle_arrays`` —
+        # no explode → groupBy(id).collect_list round trip (that shape
+        # re-shuffled every shingle occurrence just to reassemble the array
+        # it started from). ONE materialization carries both the string and
+        # the hashed arrays, so the injectivity guard's two distinct counts
+        # read the checkpoint instead of re-running the shingle transform
+        # (a combined two-countDistinct aggregate over the live exploded
+        # plan measured 38 s at 10× scale — Expand doubled the rows and the
+        # transform re-evaluated under the inferred generate filter).
+        both = shingle_arrays(df, n, text, id_col).select(
+            F.col(id_col),
+            F.col("sh_arr"),
+            F.transform(F.col("sh_arr"), lambda s: F.xxhash64(s)).alias(
+                "_h_arr"
+            ),
         ).localCheckpoint(eager=True)
+        n_str = (
+            both.select(F.explode("sh_arr").alias("s"))
+            .agg(F.countDistinct("s"))
+            .collect()[0][0]
+        )
+        n_hash = (
+            both.select(F.explode("_h_arr").alias("h"))
+            .agg(F.countDistinct("h"))
+            .collect()[0][0]
+        )
+        use_hash = n_str == n_hash
+        # one row per candidate doc — materialized once, joined twice
+        arrs = both.select(
+            F.col(id_col),
+            F.col("_h_arr" if use_hash else "sh_arr").alias("_sh_arr"),
+        )
         # Join strategy picked from the MATERIALIZED dictionary's real row
         # count (guide §3.1 — size estimates are wrong after aggregation):
         # broadcasting it keeps the (pairs × attached-array) table out of
@@ -274,6 +350,7 @@ def ngram_jaccard_pairs(
             F.col("n_inter") > 0
         )
     else:
+        sh = shingles_df(df, n, text, id_col)
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (

@@ -72,7 +72,11 @@ def train_bigram_lm(
     )
     unigram_counts = words.groupBy(F.col("w").alias("w1")).agg(
         F.count("*").alias("c1")
-    )
+    # r6b: materialize the (tiny, vocab-sized) unigram table once — it has
+    # THREE consumers (the vocab count, the scoring join, the oov join),
+    # and without the checkpoint each one re-ran the full corpus explode +
+    # aggregate (guide §5: the model table is the artifact, not the scan)
+    ).localCheckpoint(eager=True)
     vocab = unigram_counts.count()
     return bigram_counts, unigram_counts, vocab
 
