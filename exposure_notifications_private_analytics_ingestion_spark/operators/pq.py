@@ -100,6 +100,89 @@ def _argmin_code(dists: Column, codeid_lit: Column, sub_ix: Column) -> Column:
     )
 
 
+# training rows below which pq_train collects the quantized vectors and
+# runs seeding + Lloyd locally (≈ 50 MB at 64 dims); above it, the
+# distributed kernel loop is the path — see the r6b note in pq_train
+_TRAIN_COLLECT_MAX = 100_000
+
+_TRAIN_SCHEMA = "sub_idx INT, code INT, centroid ARRAY<BIGINT>"
+
+
+def _round_half_up(x: float) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _pq_train_local(
+    df: DataFrame, prep: DataFrame, m: int, ks: int, iters: int,
+    id_col: str, dims: int,
+) -> list[dict]:
+    """Driver-side twin of the distributed Lloyd loop — identical
+    arithmetic on the collected quantized vectors (codebook pinned equal by
+    tests/test_opt_r06.py). Returns the codebook ROWS (sub_idx, code,
+    centroid) so callers that need the collected form (pq_topk) skip a
+    createDataFrame → collect round trip."""
+    import hashlib
+
+    import numpy as np
+
+    sub_d = dims // m
+    # Arrow transfer (the session enables arrow.pyspark): a plain collect()
+    # converts 64-element arrays row-by-row through py4j (~2.5 s for 20k
+    # vectors); toPandas moves the same gated, size-bounded matrix in one
+    # Arrow batch (~0.5 s)
+    pdf = prep.select(id_col, "qv").toPandas()
+    ids = pdf[id_col].tolist()
+    mat = np.array(pdf["qv"].tolist(), dtype=np.float64).reshape(
+        len(ids), m, sub_d
+    )
+    # seeding: the ks subvectors with smallest (md5("{id}|{sub}"), id) per
+    # subspace — hashlib.md5 over the same concat_ws bytes the JVM hashes
+    cents: list[list[tuple[int, np.ndarray]]] = []
+    for s in range(m):
+        keyed = sorted(
+            (hashlib.md5(f"{vid}|{s}".encode()).hexdigest(), vid, i)
+            for i, vid in enumerate(ids)
+        )[:ks]
+        cents.append(
+            [(c, mat[i, s, :]) for c, (_h, _v, i) in enumerate(keyed)]
+        )
+    for _ in range(iters):
+        nxt = []
+        for s in range(m):
+            code_ids = np.array([c for c, _ in cents[s]], dtype=np.int64)
+            cm = np.array([v for _, v in cents[s]], dtype=np.float64)
+            sv = mat[:, s, :]
+            d = ((sv[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+            codes = code_ids[d.argmin(axis=1)]  # first match = lowest code
+            sv_i = sv.astype(np.int64)
+            entries = []
+            for c in np.unique(codes):
+                mask = codes == c
+                cnt = int(mask.sum())
+                ssum = sv_i[mask].sum(axis=0)
+                entries.append(
+                    (
+                        int(c),
+                        np.array(
+                            [
+                                _round_half_up(int(x) / cnt)
+                                for x in ssum
+                            ],
+                            dtype=np.float64,
+                        ),
+                    )
+                )
+            nxt.append(entries)
+        cents = nxt
+    return [
+        {"sub_idx": s, "code": int(c), "centroid": [int(x) for x in v]}
+        for s in range(m)
+        for c, v in sorted((int(c), list(v)) for c, v in cents[s])
+    ]
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -124,11 +207,50 @@ def pq_train(
     quality saturates at ~100k·ks training points (FAISS trains IVF-PQ on
     samples for the same reason), while the Lloyd joins on the full corpus
     would shuffle everything ``iters`` times for nothing."""
+    rows = _pq_train_rows(
+        df, m, ks, iters, id_col, vec_col, dims, train_frac
+    )
+    return df.sparkSession.createDataFrame(
+        sorted((r["sub_idx"], r["code"], list(r["centroid"])) for r in rows),
+        _TRAIN_SCHEMA,
+    )
+
+
+def _pq_train_rows(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    train_frac: float | None = None,
+) -> list[dict]:
+    """``pq_train``'s engine, returning the collected codebook rows —
+    ``pq_topk`` consumes these directly (the codebook is driver-side either
+    way; wrapping it in a DataFrame just to re-collect it cost ~1.5 s of
+    job latency)."""
     if train_frac is not None:
         from .sampling import deterministic_sample
 
         df = deterministic_sample(df, train_frac, key_col=id_col, salt="pqtrain")
     prep = _prep(df, id_col, vec_col, [])
+    sub_d = dims // m
+
+    # r6b: below ``_TRAIN_COLLECT_MAX`` materialized training rows, collect
+    # the quantized vectors ONCE and run seeding + every Lloyd round in
+    # local NumPy — the distributed form costs one windowed sort (seeding)
+    # plus one full mapInPandas job PER ROUND just to move a k·ks-row
+    # partial table (7.7 s of job latency for 20k vectors at 10× scale,
+    # ~1.5 s collected). The arithmetic is the identical kernel (same
+    # argmin tie rule, same int64 sums, same HALF_UP means — pinned
+    # codebook-equal by tests/test_opt_r06.py), quantization stays in the
+    # JVM, and above the gate the distributed loop below is unchanged —
+    # training at 10^9 vectors needs it. FAISS trains IVF-PQ codebooks on
+    # an in-memory sample for the same reason.
+    if prep.count() <= _TRAIN_COLLECT_MAX:
+        return _pq_train_local(df, prep, m, ks, iters, id_col, dims)
+
     sub = _subvectors(prep, m, dims).select(id_col, "sub_idx", "sv")
 
     w = Window.partitionBy("sub_idx").orderBy(
@@ -143,7 +265,6 @@ def pq_train(
             F.col("sv").alias("centroid"),
         )
     ).collect()
-    sub_d = dims // m
 
     # r6: each Lloyd round is ONE mapInPandas partial-aggregation kernel
     # over the full vectors (guide §4.2) instead of an exploded 16-candidate
@@ -159,7 +280,6 @@ def pq_train(
     import numpy as np
     import pandas as pd
 
-    schema = "sub_idx INT, code INT, centroid ARRAY<BIGINT>"
     vecs = prep.select("qv")
     part_schema = "sub_idx int, code int, cnt long, " + ", ".join(
         f"s{j} long" for j in range(sub_d)
@@ -230,10 +350,11 @@ def pq_train(
             }
             for r in merged
         ]
-    return df.sparkSession.createDataFrame(
-        sorted([(r["sub_idx"], r["code"], list(r["centroid"])) for r in rows]),
-        schema,
-    )
+    return [
+        {"sub_idx": r["sub_idx"], "code": int(r["code"]),
+         "centroid": [int(v) for v in r["centroid"]]}
+        for r in rows
+    ]
 
 
 def pq_encode(
@@ -333,19 +454,30 @@ def _grouped_pq_adots(
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        tab = np.asarray(table, dtype=np.int64).reshape(m, ks, ks)
+        tab = np.asarray(table, dtype=np.float64).reshape(m, ks, ks)
         ids = pdf[id_col].to_numpy()
         codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # n×m
         qn = pdf["qn"].to_numpy(dtype=np.float64)
         n = len(pdf)
         if n < 2:
             return pd.DataFrame(empty)
+        # r6b: one BLAS matmul instead of m giant fancy-index gathers
+        # (the gather form cost ~7 s wall on 10-task parallelism at 10×
+        # scale). R = per-sub row gathers (chunk × m·ks, cheap), B = the
+        # neighbors' one-hot code matrix (m·ks × n); R @ B ==
+        # Σ_sub tab[sub][ca, cb] exactly — every entry is an integer sum
+        # < 2^53, so float64 matmul is exact and the int64 cast below is
+        # lossless.
+        B = np.zeros((m * ks, n))
+        for sub in range(m):
+            B[sub * ks + codes[:, sub], np.arange(n)] = 1.0
         out = []
         for s in range(0, n, chunk):
             ca = codes[s : s + chunk]
-            adot = np.zeros((len(ca), n), dtype=np.int64)
-            for sub in range(m):
-                adot += tab[sub][ca[:, sub][:, None], codes[:, sub][None, :]]
+            R = np.concatenate(
+                [tab[sub][ca[:, sub]] for sub in range(m)], axis=1
+            )
+            adot = (R @ B).astype(np.int64)
             denom = np.sqrt(qn[s : s + chunk, None] * qn[None, :])
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = adot / denom
@@ -405,10 +537,14 @@ def pq_topk(
     query are re-scored with the EXACT integer dot product and the true
     top-k of those is returned. Output schema matches ``ivf_topk``
     (query_id, neighbor_id, cosine, rank)."""
-    codebook = codebook if codebook is not None else pq_train(
-        df, m=m, ks=ks, id_col=id_col, vec_col=vec_col, dims=dims
-    )
-    cb_rows = codebook.collect()
+    if codebook is None:
+        cb_rows = _pq_train_rows(
+            df, m=m, ks=ks, id_col=id_col, vec_col=vec_col, dims=dims
+        )
+    elif isinstance(codebook, DataFrame):
+        cb_rows = codebook.collect()
+    else:
+        cb_rows = list(codebook)
 
     enc = pq_encode(
         df, cb_rows, m=m, id_col=id_col, vec_col=vec_col, dims=dims,

@@ -47,6 +47,33 @@ def test_cc_string_ids_keep_distributed_loop(spark):
     assert out == [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")]
 
 
+def test_pq_train_local_equals_distributed(spark):
+    """The size-gated driver-side Lloyd twin must produce a byte-identical
+    codebook to the distributed kernel loop."""
+    import random
+
+    import exposure_notifications_private_analytics_ingestion_spark.operators.pq as pq
+
+    rng = random.Random(5)
+    df = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    local = sorted(map(tuple, pq.pq_train(df).collect()))
+    orig = pq._TRAIN_COLLECT_MAX
+    pq._TRAIN_COLLECT_MAX = 0  # force the distributed loop
+    try:
+        dist = sorted(map(tuple, pq.pq_train(df).collect()))
+    finally:
+        pq._TRAIN_COLLECT_MAX = orig
+    assert [(s, c, list(v)) for s, c, v in local] == [
+        (s, c, list(v)) for s, c, v in dist
+    ]
+
+
 def test_verify_hash_encode_matches_string_arrays(spark, monkeypatch):
     """The xxhash64 shingle encoding must produce the exact same verified
     pairs as the string-array fallback (n_inter is invariant under the
