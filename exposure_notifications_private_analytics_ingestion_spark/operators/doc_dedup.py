@@ -173,8 +173,21 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band. Returns (doc_a, doc_b,
-    n_shared_bands). Join key = (band_idx, band_hash) — collision-bounded."""
-    banded = band_signatures(df, k, bands, n, text, id_col)
+    n_shared_bands). Join key = (band_idx, band_hash) — collision-bounded.
+
+    r6b: both the self-join and the pair aggregation get an EXPLICIT
+    defaultParallelism-wide hash repartition on their keys. AQE coalesces
+    exchanges by INPUT bytes, and this join's input is tiny (4 rows/doc)
+    while its OUTPUT is the band-collision product — at 10× scale AQE
+    squeezed the product onto 6 tasks (and the 7.5M-row pair agg onto
+    fewer), serializing the expansion while the rest of the machine idled.
+    The explicit width derives from the session's parallelism, not a
+    constant, and the repartitioned ``banded`` feeds BOTH join sides from
+    one reused exchange."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    banded = band_signatures(df, k, bands, n, text, id_col).repartition(
+        par, "band_idx", "band_hash"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -184,9 +197,12 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
         )
+        .repartition(par, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
 
