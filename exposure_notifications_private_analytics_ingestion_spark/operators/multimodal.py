@@ -126,14 +126,19 @@ def encode_wav(
     """Spec-valid RIFF/WAVE PCM file: RIFF header, fmt chunk (PCM format 1,
     real byte-rate/block-align math), and a data chunk of deterministic ramp
     samples — playable by any conforming reader."""
+    import numpy as np
+
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
     amp = (1 << (bits - 1)) - 1
-    data = b"".join(
-        struct.pack("<h" if bits == 16 else "<b", ((i * 37) % amp) - amp // 2)
-        for i in range(n_frames * channels)
-    )
+    # vectorized ramp — byte-identical to per-sample struct.pack("<h"/"<b")
+    # of ((i*37) % amp) - amp//2 (values fit the signed width), ~40M
+    # fewer Python calls per 10×-scale corpus
+    samples = (
+        np.arange(n_frames * channels, dtype=np.int64) * 37
+    ) % amp - amp // 2
+    data = samples.astype("<i2" if bits == 16 else "<i1").tobytes()
     riff_len = 4 + (8 + len(fmt)) + (8 + len(data))
     return (
         b"RIFF"
