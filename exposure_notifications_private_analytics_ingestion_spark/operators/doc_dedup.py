@@ -22,7 +22,7 @@ expression exists in every SQL engine, making every op here oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text_analysis import words_col
@@ -211,24 +211,35 @@ def simhash(
     df: DataFrame, bits: int = 16, n: int = 1, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash over distinct word shingles: bit b set iff the signed sum of
-    bit b across shingle hashes is positive. One exploded agg, ``bits``
-    conditional sums — all codegen'd."""
-    shingled = shingles_df(df, n, text, id_col)
-    h = F.md5(F.col("shingle"))
-    bit_sums = []
-    for b in range(bits):
-        digit = F.substring(h, 1 + b // 4, 1)
-        v = F.conv(digit, 16, 10).cast("int")
-        bit = F.shiftright(v, 3 - (b % 4)) % 2
-        bit_sums.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s_{b}")
+    bit b across shingle hashes is positive.
+
+    r6b: computed PER ROW from the shingle array — the md5s are one
+    ``transform`` pass and each bit's signed sum one ``aggregate`` over
+    that array — instead of explode → groupBy(id).agg(bits sums). Same
+    values (integer sums over the same distinct-shingle set are
+    order-independent), ZERO shuffle where the exploded form moved every
+    shingle occurrence through an exchange."""
+    arrs = shingle_arrays(df, n, text, id_col).select(
+        F.col(id_col),
+        F.transform(F.col("sh_arr"), lambda s: F.md5(s)).alias("_h_arr"),
+    )
+
+    def bit_sum(b: int) -> Column:
+        def signed(h):
+            digit = F.substring(h, 1 + b // 4, 1)
+            v = F.conv(digit, 16, 10).cast("int")
+            bit = F.shiftright(v, 3 - (b % 4)) % 2
+            return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(
+            F.col("_h_arr"), F.lit(0), lambda acc, h: acc + signed(h)
         )
-    sums = shingled.groupBy(id_col).agg(*bit_sums)
+
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    return arrs.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 def ngram_jaccard_pairs(
