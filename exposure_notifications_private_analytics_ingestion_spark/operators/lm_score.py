@@ -88,6 +88,7 @@ def lm_perplexity(
     vocab: int,
     text: str = "text",
     id_col: str = "doc_id",
+    known_full_vocab: bool = False,
 ) -> DataFrame:
     """(id_col, n_bigrams, avg_neg_logp, perplexity, oov_frac) per document
     with ≥2 tokens. Unseen bigrams/words get the add-one floor — finite
@@ -126,22 +127,34 @@ def lm_perplexity(
     )
     # oov_frac is TOKEN-level (every token, including the first — a
     # bigram-w2-only count would miss a leading OOV word entirely): explode
-    # the same tokenization, left-join vocabulary membership, ratio per doc
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text)), " ")).alias("w1"),
-    )
-    in_vocab = unigram_counts.select("w1", F.lit(1).alias("_known"))
-    oov = (
-        toks.join(in_vocab, "w1", "left")
-        .na.fill(0, ["_known"])
-        .groupBy(id_col)
-        .agg(
-            F.round(F.sum(1 - F.col("_known")) / F.count("*"), 6).alias("oov_frac")
+    # the same tokenization, left-join vocabulary membership, ratio per doc.
+    # r6b: when the caller PROVES the vocabulary covers every scored token
+    # (self-scoring: the model was trained on the same tokenization of the
+    # same documents), oov_frac is identically round(0/n, 6) = 0.0 for every
+    # output row, so the explode + membership join + per-doc agg is skipped
+    # — value-equal by construction, pinned by
+    # tests/test_opt_r06.py::test_lm_self_scoring_oov_shortcut.
+    if known_full_vocab:
+        scored_out = ppl.withColumn("oov_frac", F.lit(0.0))
+    else:
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text)), " ")).alias("w1"),
         )
-    )
+        in_vocab = unigram_counts.select("w1", F.lit(1).alias("_known"))
+        oov = (
+            toks.join(in_vocab, "w1", "left")
+            .na.fill(0, ["_known"])
+            .groupBy(id_col)
+            .agg(
+                F.round(F.sum(1 - F.col("_known")) / F.count("*"), 6).alias(
+                    "oov_frac"
+                )
+            )
+        )
+        scored_out = ppl.join(oov, id_col)
     return (
-        ppl.join(oov, id_col)
+        scored_out
         .withColumn("perplexity", F.round(F.exp(F.col("avg_neg_logp")), 3))
         .withColumn("avg_neg_logp", F.round(F.col("avg_neg_logp"), 6))
         .select(id_col, "n_bigrams", "avg_neg_logp", "perplexity", "oov_frac")
@@ -155,4 +168,6 @@ def lm_quality_scores(
     the in-corpus outlier detector. For the CCNet setup, train on a curated
     reference and pass the tables to ``lm_perplexity`` directly."""
     b, u, v = train_bigram_lm(docs, text, id_col)
-    return lm_perplexity(docs, b, u, v, text, id_col)
+    # the model is trained on the same tokenization of the same documents,
+    # so every scored token is in-vocabulary — see known_full_vocab above
+    return lm_perplexity(docs, b, u, v, text, id_col, known_full_vocab=True)

@@ -74,6 +74,33 @@ def test_pq_train_local_equals_distributed(spark):
     ]
 
 
+def test_lm_self_scoring_oov_shortcut(spark):
+    """Self-scoring with known_full_vocab=True must equal the full oov
+    path row-for-row (every token is in-vocabulary by construction)."""
+    import random
+
+    from exposure_notifications_private_analytics_ingestion_spark.operators.lm_score import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+            for i in range(150)
+        ],
+        "doc_id long, text string",
+    )
+    b, u, v = train_bigram_lm(docs)
+    full = sorted(map(tuple, lm_perplexity(docs, b, u, v).collect()))
+    fast = sorted(
+        map(tuple, lm_perplexity(docs, b, u, v, known_full_vocab=True).collect())
+    )
+    assert full == fast
+
+
 def test_verify_hash_encode_matches_string_arrays(spark, monkeypatch):
     """The xxhash64 shingle encoding must produce the exact same verified
     pairs as the string-array fallback (n_inter is invariant under the
