@@ -403,6 +403,73 @@ def pq_encode(
     )
 
 
+def _encode_np(
+    df: DataFrame,
+    cb_rows: list,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    extra: list[str],
+) -> DataFrame:
+    """One Arrow pass emitting (id, qv, qn, codes, *extra) — the NumPy twin
+    of ``_prep`` + ``pq_encode`` (guide §4.2). The JVM forms evaluate
+    higher-order-function lambdas interpreted (not codegen'd), and
+    ``pq_topk`` needed THREE separate passes (encode + the two re-rank
+    prep branches). Exactness: float32 source ⇒ x·1000 exact in float64 and
+    copysign(floor(|v|+0.5), v) IS F.round's HALF_UP (the
+    ``_prep_np_with_bucket`` argument); squared distances and qn stay
+    below 2^53; argmin first-match over code-ascending centroids is
+    ``array_position(array_min)``'s lowest-code tie rule. Codes verified
+    equal to ``pq_encode`` by tests/test_opt_r06.py."""
+    import pandas as pd
+
+    import numpy as np
+
+    from .similarity import QUANT
+
+    sub_d = dims // m
+    per_sub: dict[int, list] = {s: [] for s in range(m)}
+    for r in cb_rows:
+        per_sub[r["sub_idx"]].append(
+            (int(r["code"]), [int(v) for v in r["centroid"]])
+        )
+    entries = [sorted(per_sub[s]) for s in range(m)]
+    code_ids = [np.array([c for c, _ in e], dtype=np.int64) for e in entries]
+    cent_mats = [np.array([v for _, v in e], dtype=np.float64) for e in entries]
+
+    id_type = dict(df.dtypes)[id_col]
+    dts = dict(df.dtypes)
+    schema = (
+        f"{id_col} {id_type}, qv array<bigint>, qn long, codes array<int>"
+        + "".join(f", {c} {dts[c]}" for c in extra)
+    )
+
+    def op(batches):
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64) * QUANT
+            v = np.copysign(np.floor(np.abs(x) + 0.5), x)
+            qn = (v * v).sum(axis=1)
+            vm = v.reshape(-1, m, sub_d)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                d = ((vm[:, s, None, :] - cent_mats[s][None, :, :]) ** 2).sum(
+                    -1
+                )
+                codes[:, s] = code_ids[s][d.argmin(axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "qv": list(v.astype(np.int64)),
+                    "qn": qn.astype(np.int64),
+                    "codes": list(codes.astype(np.int32)),
+                    **{c: pdf[c] for c in extra},
+                }
+            )
+
+    return df.select(id_col, vec_col, *extra).mapInPandas(op, schema=schema)
+
+
 def _dot_table(codebook_rows: list, m: int, ks: int) -> list[int]:
     """Flat m·ks·ks table of centroid dot products (symmetric distance
     computation): entry [sub·ks² + ca·ks + cb] = dot(C[sub][ca], C[sub][cb]).
@@ -546,10 +613,18 @@ def pq_topk(
     else:
         cb_rows = list(codebook)
 
-    enc = pq_encode(
-        df, cb_rows, m=m, id_col=id_col, vec_col=vec_col, dims=dims,
-        extra=[cluster_col],
+    # r6b: ONE NumPy pass builds (id, qv, qn, codes, cluster) — the JVM
+    # encode + the two re-rank prep branches each re-evaluated interpreted
+    # higher-order-function lambdas over the corpus (HOFs never reach
+    # codegen). Size-gated checkpoint: the pass has THREE consumers (adots
+    # kernel, both re-rank sides); above the gate the lazy recompute is the
+    # scale path (materializing the encoded corpus at 10^9 vectors is the
+    # INDEX build, a separate artifact decision).
+    enc = _encode_np(
+        df, cb_rows, m, id_col, vec_col, dims, extra=[cluster_col]
     )
+    if df.count() <= 10 * _TRAIN_COLLECT_MAX:
+        enc = enc.localCheckpoint(eager=True)
     # r6: the per-cluster pair join + per-pair element_at chain + full-pair
     # window is replaced by a grouped NumPy kernel (guide §4.2): table
     # lookups are m fancy-index gathers per chunk, and each query emits only
@@ -579,8 +654,9 @@ def pq_topk(
     )
 
     # exact re-rank of the shortlist only: join the raw quantized vectors
-    # back for `rerank` rows per query, not per candidate pair
-    prep = _prep(df, id_col, vec_col, [])
+    # back for `rerank` rows per query, not per candidate pair — both sides
+    # read the same (checkpointed) encode pass
+    prep = enc
     qa = prep.select(
         F.col(id_col).alias("query_id"),
         F.col("qv").alias("qv_a"),

@@ -292,6 +292,14 @@ def ivf_topk(
     from pyspark.sql import Window
 
     prep = _prep(df, id_col, vec_col, [cluster_col])
+    if nprobe > 1 and df.count() <= 1_000_000:
+        # r6b: the nprobe>1 shape consumes prep THREE times (centroid sums,
+        # probe ranking, member rows), and the quantize/self-dot lambdas are
+        # interpreted (higher-order functions never reach codegen) — so
+        # below the gate, materialize the pass once; above it the lazy
+        # recompute is the scale path (a checkpoint of the full corpus at
+        # 10^9 vectors is an index-build decision, not a query step).
+        prep = prep.localCheckpoint(eager=True)
     if nprobe <= 1:
         # r6: per-cluster NumPy matmul kernel replaces the Σ|cluster|² join
         # + full-pair window (guide §4.2; 315 s → s at sf1.0). The kernel

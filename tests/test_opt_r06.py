@@ -74,6 +74,35 @@ def test_pq_train_local_equals_distributed(spark):
     ]
 
 
+def test_encode_np_equals_jvm_encode(spark):
+    """The one-pass NumPy encode must equal the JVM literal-argmin encode
+    (codes, qn) for the same codebook."""
+    import random
+
+    import exposure_notifications_private_analytics_ingestion_spark.operators.pq as pq
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(64)], i % 4)
+            for i in range(250)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cb = pq._pq_train_rows(df)
+    jvm = {
+        r["vec_id"]: (r["qn"], list(r["codes"]))
+        for r in pq.pq_encode(df, cb, extra=["label"]).collect()
+    }
+    np_ = {
+        r["vec_id"]: (r["qn"], list(r["codes"]))
+        for r in pq._encode_np(
+            df, cb, 8, "vec_id", "embedding", 64, ["label"]
+        ).collect()
+    }
+    assert jvm == np_
+
+
 def test_lm_self_scoring_oov_shortcut(spark):
     """Self-scoring with known_full_vocab=True must equal the full oov
     path row-for-row (every token is in-vocabulary by construction)."""
