@@ -55,43 +55,11 @@ def connected_components(
         id_type, (ByteType, ShortType, IntegerType, LongType)
     ):
         rows = edges.collect()
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in rows:
-            a, b = r["src"], r["dst"]
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[rb] = ra
-        comp_min: dict = {}
-        for node in parent:
-            root = find(node)
-            cur = comp_min.get(root)
-            if cur is None or node < cur:
-                comp_min[root] = node
-        out = sorted((node, comp_min[find(node)]) for node in parent)
-        from pyspark.sql.types import StructField, StructType
-
-        return pairs.sparkSession.createDataFrame(
-            out,
-            StructType(
-                [
-                    StructField("doc_id", id_type, True),
-                    StructField("component", id_type, True),
-                ]
-            ),
-        )
+        # NULL ids would break Python ordering (None < int raises); the
+        # distributed loop below handles them with SQL null semantics, so
+        # any null sends the graph down that path unchanged
+        if not any(r["src"] is None or r["dst"] is None for r in rows):
+            return _union_find_labels(pairs, rows, id_type)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -123,6 +91,48 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _union_find_labels(pairs: DataFrame, rows: list, id_type) -> DataFrame:
+    """In-process min-label CC over collected (src, dst) rows — the gated
+    small-graph path of ``connected_components`` (numeric, non-null ids)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    out = sorted((node, comp_min[find(node)]) for node in parent)
+    from pyspark.sql.types import StructField, StructType
+
+    return pairs.sparkSession.createDataFrame(
+        out,
+        StructType(
+            [
+                StructField("doc_id", id_type, True),
+                StructField("component", id_type, True),
+            ]
+        ),
+    )
 
 
 def dedup_representatives(

@@ -365,15 +365,17 @@ def ngram_jaccard_pairs(
             F.size("_a").alias("n_a"),
             F.size("_b").alias("n_b"),
         )
-        # r6b: one narrow exchange between the intersect projection and the
-        # jaccard filter. Without it Catalyst pushes the alias-substituted
-        # jaccard predicate (and the n_inter > 0 filter) BELOW the
-        # projection, so array_intersect is evaluated 2-3× per pair
-        # (measured: the fused form cost ~2.5× the single-evaluation
-        # attach). The exchange moves 5 ints per pair — the same width the
-        # old four-shuffle shape moved four times — and everything
-        # downstream binds to the materialized n_inter.
-        attached = scored.repartition("doc_a", "doc_b").filter(
+        # r6b: MATERIALIZE the scored pairs (5 ints per pair) before the
+        # jaccard filter. Catalyst alias-substitutes the jaccard predicate
+        # and the n_inter > 0 filter below the projection — and pushes them
+        # through any exchange, including a repartition (verified on the
+        # optimized plan: a repartition "barrier" left array_intersect
+        # evaluated 3× in the join condition + 1× in the projection) — so
+        # the only reliable single-evaluation shape is a checkpoint of the
+        # narrow scored table; everything downstream binds to the
+        # materialized n_inter. The checkpoint is bounded by the candidate
+        # count × 5 ints — far smaller than either attach input.
+        attached = scored.localCheckpoint(eager=True).filter(
             F.col("n_inter") > 0
         )
     else:

@@ -115,8 +115,7 @@ def _round_half_up(x: float) -> int:
 
 
 def _pq_train_local(
-    df: DataFrame, prep: DataFrame, m: int, ks: int, iters: int,
-    id_col: str, dims: int,
+    prep: DataFrame, m: int, ks: int, iters: int, id_col: str, dims: int
 ) -> list[dict]:
     """Driver-side twin of the distributed Lloyd loop — identical
     arithmetic on the collected quantized vectors (codebook pinned equal by
@@ -248,8 +247,13 @@ def _pq_train_rows(
     # JVM, and above the gate the distributed loop below is unchanged —
     # training at 10^9 vectors needs it. FAISS trains IVF-PQ codebooks on
     # an in-memory sample for the same reason.
-    if prep.count() <= _TRAIN_COLLECT_MAX:
-        return _pq_train_local(df, prep, m, ks, iters, id_col, dims)
+    n_train = prep.count()
+    if n_train == 0:
+        # empty input → empty codebook, matching the distributed path's
+        # pre-r6b behavior (the local kernel would index empty matrices)
+        return []
+    if n_train <= _TRAIN_COLLECT_MAX:
+        return _pq_train_local(prep, m, ks, iters, id_col, dims)
 
     sub = _subvectors(prep, m, dims).select(id_col, "sub_idx", "sv")
 
@@ -284,11 +288,8 @@ def _pq_train_rows(
     part_schema = "sub_idx int, code int, cnt long, " + ", ".join(
         f"s{j} long" for j in range(sub_d)
     )
-
-    def _round_half_up(x: float) -> int:
-        import math
-
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+    # means use the MODULE-LEVEL _round_half_up — the local/distributed
+    # codebook-equality invariant depends on one shared rounding definition
 
     for _ in range(iters):
         per_sub: dict[int, list] = {s: [] for s in range(m)}
@@ -595,7 +596,7 @@ def pq_topk(
     vec_col: str = "embedding",
     cluster_col: str = "label",
     dims: int = 64,
-    codebook: DataFrame | None = None,
+    codebook: DataFrame | list | None = None,
 ) -> DataFrame:
     """IVF-PQ top-k with exact re-rank: candidates restricted to the
     query's coarse cluster (the IVF stage), scored by the PQ

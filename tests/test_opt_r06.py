@@ -74,6 +74,25 @@ def test_pq_train_local_equals_distributed(spark):
     ]
 
 
+def test_pq_train_empty_input_returns_empty_codebook(spark):
+    import exposure_notifications_private_analytics_ingestion_spark.operators.pq as pq
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pq.pq_train(empty).count() == 0
+
+
+def test_cc_null_ids_fall_back_to_distributed_loop(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 7), (8, None)],
+        "doc_a long, doc_b long",
+    )
+    fast_path_out = connected_components(pairs).collect()
+    loop_out = connected_components(pairs, small_graph_max=0).collect()
+    assert sorted(map(tuple, fast_path_out), key=str) == sorted(
+        map(tuple, loop_out), key=str
+    )
+
+
 def test_encode_np_equals_jvm_encode(spark):
     """The one-pass NumPy encode must equal the JVM literal-argmin encode
     (codes, qn) for the same codebook."""
